@@ -95,9 +95,16 @@ def iter_reads(path: str, fastq: bool | None = None):
                     seq_parts.append(line.strip())
                     line = fh.readline()
                 seq = "".join(seq_parts)
+                # colour-space reads carry no qv for the initial letter base,
+                # so their quality string is one shorter (fasta.c qual_vector
+                # offset handling)
+                expected = len(seq)
+                if (len(seq) >= 2 and seq[0].upper() in "ACGT"
+                        and all(c in "0123.Nn4" for c in seq[1:])):
+                    expected -= 1
                 qual_parts: list[str] = []
                 qlen = 0
-                while qlen < len(seq):
+                while qlen < expected:
                     line = fh.readline()
                     if not line:
                         break
