@@ -1,0 +1,139 @@
+"""Batched score-only Smith-Waterman — the pass-1 filter kernel (L2a).
+
+TPU-native counterpart of the reference's SSE2 anti-diagonal vector SW
+(`common/sw-vector.c:68-220`): local affine-gap alignment, score only.
+Instead of 8 int16 lanes along one anti-diagonal of one problem, we run a
+**batch of (window, read) problems** with the batch in the vector lanes and a
+`lax.scan` over anti-diagonals — the same wavefront dependency structure, but
+parallelism comes from batching, which is how a 2011-SIMD inner loop maps onto
+a 8x128-lane VPU.
+
+Semantics mirrored from the reference:
+  * H (nogap) is floored at 0 every cell; score = max over all cells
+    (`sw-vector.c:185-199`).
+  * Gap states:  A-gap consumes genome (west), B-gap consumes read (north);
+    opening costs open+extend (`sw-vector.c:172-179`).
+  * Characters "match" iff their 4-bit codes are equal (N==N matches; the
+    reference compares raw codes, `sw-vector.c:181-184`).
+  * Padding can never match: genome pad = -1, read pad = -2 (the reference's
+    "padding must differ" contract, `sw-vector.c:52-59`).
+
+Dtype: int32 accumulators (the reference used int16 and capped scores at
+2^15-1, `sw-vector.c:63-67`; int32 is the VPU-native width so we drop the cap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from shrimp_tpu.ops.params import SWParams
+
+NEG_INF = -(1 << 28)
+
+GENOME_PAD = -1
+READ_PAD = -2
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def sw_score_batch(genome: jax.Array, read: jax.Array,
+                   params: SWParams = SWParams()) -> jax.Array:
+    """Local affine SW scores for a batch of (genome window, read) pairs.
+
+    Args:
+      genome: int8/int32 [B, G] base codes; pad with GENOME_PAD (-1).
+      read:   int8/int32 [B, R] base codes; pad with READ_PAD (-2).
+      params: scoring parameters (negative penalties, reference convention).
+
+    Returns:
+      int32 [B] best local alignment score (>= 0).
+    """
+    genome = genome.astype(jnp.int32)
+    read = read.astype(jnp.int32)
+    B, G = genome.shape
+    _, R = read.shape
+
+    m = jnp.int32(params.match)
+    x = jnp.int32(params.mismatch)
+    aoe = jnp.int32(-(params.a_gap_open + params.a_gap_extend))  # positive cost
+    ae = jnp.int32(-params.a_gap_extend)
+    boe = jnp.int32(-(params.b_gap_open + params.b_gap_extend))
+    be = jnp.int32(-params.b_gap_extend)
+
+    # State per anti-diagonal, laid out [B, R] (cell index within diagonal = i,
+    # the read position; genome position j = d - i).
+    h_d1 = jnp.zeros((B, R), jnp.int32)       # H on diagonal d-1
+    h_d2 = jnp.zeros((B, R), jnp.int32)       # H on diagonal d-2
+    a_d1 = jnp.full((B, R), NEG_INF, jnp.int32)
+    b_d1 = jnp.full((B, R), NEG_INF, jnp.int32)
+    # genome characters on the current diagonal: gdiag[i] = genome[d - i]
+    gdiag = jnp.full((B, R), GENOME_PAD, jnp.int32)
+    best = jnp.zeros((B,), jnp.int32)
+
+    n_diag = G + R - 1
+    # row index i per diagonal slot, fixed
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+
+    def shift_right(arr, fill):
+        return jnp.concatenate(
+            [jnp.full((B, 1), fill, arr.dtype), arr[:, :-1]], axis=1)
+
+    def step(carry, d):
+        h_d1, h_d2, a_d1, b_d1, gdiag, best = carry
+
+        # slide the next genome char into diagonal slot 0
+        gcol = jax.lax.dynamic_slice_in_dim(genome, d, 1, axis=1)  # [B,1]
+        gdiag = jnp.concatenate([gcol, gdiag[:, :-1]], axis=1)
+
+        # A-gap (gap in read, consumes genome): cell (i, j-1) is diag d-1 slot i
+        a_d = jnp.maximum(h_d1 - aoe, a_d1 - ae)
+        # B-gap (gap in genome, consumes read): cell (i-1, j) is diag d-1 slot i-1
+        b_d = jnp.maximum(shift_right(h_d1, 0) - boe,
+                          shift_right(b_d1, NEG_INF) - be)
+        # match/mismatch from diag d-2 slot i-1
+        ms = jnp.where(gdiag == read, m, x)
+        h_diag = shift_right(h_d2, 0) + ms
+        h_d = jnp.maximum(jnp.maximum(h_diag, 0), jnp.maximum(a_d, b_d))
+
+        # mask off out-of-matrix slots: need 0 <= i <= d and j = d - i < G
+        valid = (ii <= d) & (d - ii < G)
+        h_d = jnp.where(valid, h_d, 0)
+        a_d = jnp.where(valid, a_d, NEG_INF)
+        b_d = jnp.where(valid, b_d, NEG_INF)
+
+        best = jnp.maximum(best, jnp.max(h_d, axis=1))
+        return (h_d, h_d1, a_d, b_d, gdiag, best), None
+
+    # pad genome so dynamic_slice at d >= G stays in bounds (chars unused:
+    # their slots are masked invalid)
+    genome = jnp.pad(genome, ((0, 0), (0, R)), constant_values=GENOME_PAD)
+
+    (h_d1, h_d2, a_d1, b_d1, gdiag, best), _ = jax.lax.scan(
+        step, (h_d1, h_d2, a_d1, b_d1, gdiag, best),
+        jnp.arange(n_diag, dtype=jnp.int32))
+    return best
+
+
+def sw_score_numpy(genome, read, params: SWParams = SWParams()) -> int:
+    """NumPy oracle: straightforward O(G*R) local affine SW for one pair."""
+    import numpy as np
+
+    G, R = len(genome), len(read)
+    H = np.zeros((R + 1, G + 1), np.int64)
+    A = np.full((R + 1, G + 1), NEG_INF, np.int64)
+    Bm = np.full((R + 1, G + 1), NEG_INF, np.int64)
+    aoe = -(params.a_gap_open + params.a_gap_extend)
+    ae = -params.a_gap_extend
+    boe = -(params.b_gap_open + params.b_gap_extend)
+    be = -params.b_gap_extend
+    best = 0
+    for i in range(1, R + 1):
+        for j in range(1, G + 1):
+            A[i][j] = max(H[i][j - 1] - aoe, A[i][j - 1] - ae)
+            Bm[i][j] = max(H[i - 1][j] - boe, Bm[i - 1][j] - be)
+            ms = params.match if genome[j - 1] == read[i - 1] else params.mismatch
+            H[i][j] = max(0, H[i - 1][j - 1] + ms, A[i][j], Bm[i][j])
+            best = max(best, H[i][j])
+    return int(best)

@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+from shrimp_tpu import dna
+from shrimp_tpu.ops.params import SWParams
+from shrimp_tpu.ops import sw_vector
+
+
+def _pad(arrs, L, fill):
+    out = np.full((len(arrs), L), fill, np.int32)
+    for i, a in enumerate(arrs):
+        out[i, :len(a)] = a
+    return out
+
+
+def run_batch(genomes, reads, params=SWParams()):
+    G = max(len(g) for g in genomes)
+    R = max(len(r) for r in reads)
+    gb = _pad(genomes, G, sw_vector.GENOME_PAD)
+    rb = _pad(reads, R, sw_vector.READ_PAD)
+    return np.asarray(sw_vector.sw_score_batch(gb, rb, params))
+
+
+def test_perfect_match():
+    g = dna.encode("ACGTACGTACGT")
+    r = dna.encode("ACGTACGT")
+    scores = run_batch([g], [r])
+    assert scores[0] == 8 * 10
+
+
+def test_single_mismatch():
+    g = dna.encode("AAAACCCCGGGG")
+    r = dna.encode("AACACCCC")  # one mismatch mid-read
+    oracle = sw_vector.sw_score_numpy(g, r)
+    assert run_batch([g], [r])[0] == oracle
+
+
+def test_gap_costs():
+    # read with a deletion vs genome: ACGTACGT vs ACGT-ACGT window
+    g = dna.encode("ACGTAACGT")  # genome has extra A
+    r = dna.encode("ACGTACGT")
+    s = run_batch([g], [r])[0]
+    # aligning through the gap: 8 matches + a-gap open+ext = 80 - 40 = 40
+    # vs best exact submatch ACGTA (50): oracle decides
+    assert s == sw_vector.sw_score_numpy(g, r)
+
+
+def test_empty_overlap_scores_zero():
+    g = dna.encode("AAAA")
+    r = dna.encode("GGGG")
+    assert run_batch([g], [r])[0] == 0
+
+
+def test_batch_vs_oracle_random():
+    rng = np.random.default_rng(42)
+    genomes, reads = [], []
+    for _ in range(32):
+        genomes.append(rng.integers(0, 4, size=rng.integers(20, 70)).astype(np.int8))
+        reads.append(rng.integers(0, 4, size=rng.integers(10, 50)).astype(np.int8))
+    scores = run_batch(genomes, reads)
+    for k in range(32):
+        assert scores[k] == sw_vector.sw_score_numpy(genomes[k], reads[k]), k
+
+
+def test_n_matches_n():
+    # reference quirk: equal 4-bit codes match, including N==N
+    g = np.array([dna.BASE_N] * 8, np.int8)
+    r = np.array([dna.BASE_N] * 8, np.int8)
+    assert run_batch([g], [r])[0] == 80
+
+
+@pytest.mark.parametrize("params", [
+    SWParams(),
+    SWParams(match=5, mismatch=-4, a_gap_open=-10, a_gap_extend=-1,
+             b_gap_open=-6, b_gap_extend=-2),
+])
+def test_asymmetric_gaps(params):
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        g = rng.integers(0, 4, size=60).astype(np.int8)
+        # embed a mutated copy of a read
+        r = g[10:40].copy()
+        r = np.delete(r, 5)          # deletion
+        r[12] = (r[12] + 1) % 4      # SNP
+        assert run_batch([g], [r], params)[0] == \
+            sw_vector.sw_score_numpy(g, r, params)
