@@ -1,0 +1,359 @@
+"""Batched full Smith-Waterman with traceback — the pass-2 kernel (L2c).
+
+Covers `common/sw-full-ls.c`: 3-state affine DP with per-state backtrace,
+local or "glocal" (read end-to-end, genome free) mode, strand-dependent
+tie-breaking, and alignment statistics.
+
+State model (exactly the reference's, which differs from the vector filter):
+each cell keeps three scores — NW (arrived diagonally), N (arrived by a gap in
+the genome consuming a read char, "b" gap), W (arrived by a gap in the read
+consuming a genome char, "a" gap).  Gap states open **only from the NW state**
+of their predecessor (`sw-full-ls.c:300-353` reads `score_northwest`), so
+immediately adjacent insert+delete pairs are not chained, unlike the pass-1
+vector kernel which opens gaps from the cell max (`sw-vector.c:172-179`).
+
+TPU-native split:
+  * the DP runs on device over anti-diagonals for a whole batch of candidate
+    windows, emitting packed per-cell direction bits
+    (uint8: west[2]<<4 | north[2]<<2 | nw[2]) in diagonal-major layout;
+  * the traceback walks those bits on host in NumPy — pass 2 only sees
+    ~num_outputs survivors per read (`gmapper/mapping.c:1649-1739`), so the
+    walk is a trivial fraction of the work.
+
+Tie-breaks replicated from `sw-full-ls.c:260-354`: forward strand prefers
+NW > N > W on ties; the revcmpl flag flips each preference so reported
+alignments are strand-stable (Tflag).  The best cell is the first row-major
+cell attaining the maximum (`full_sw` strict-greater update, `:359-368`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shrimp_tpu.ops.params import SWParams
+from shrimp_tpu.ops.sw_vector import GENOME_PAD, NEG_INF
+
+# back-pointer codes, 2 bits per state (0 = stop/none)
+NW_FROM_NW, NW_FROM_N, NW_FROM_W = 1, 2, 3
+N_FROM_N, N_FROM_NW = 1, 2
+W_FROM_W, W_FROM_NW = 1, 2
+
+STATE_NW, STATE_N, STATE_W = 0, 1, 2
+
+# edit ops produced by traceback (aligned-column order)
+OP_MATCH = 0      # genome char aligned to read char
+OP_INS = 1        # genome char vs gap in read (reference "insertion")
+OP_DEL = 2        # read char vs gap in genome (reference "deletion")
+
+
+@dataclass
+class SWAlignment:
+    """One full-SW alignment (reference `sw_full_results`,
+    common/sw-full-common.h)."""
+
+    score: int = 0
+    read_start: int = 0
+    genome_start: int = 0      # relative to the window
+    rmapped: int = 0
+    gmapped: int = 0
+    matches: int = 0
+    mismatches: int = 0
+    insertions: int = 0
+    deletions: int = 0
+    ops: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+    dbalign: str = ""
+    qralign: str = ""
+
+
+def _pick(*score_ptr_pairs):
+    """max with tie preference for earlier args (strictly-greater replaces)."""
+    best, which = score_ptr_pairs[0]
+    for s, p in score_ptr_pairs[1:]:
+        take = s > best
+        best = jnp.where(take, s, best)
+        which = jnp.where(take, p, which)
+    return best, which
+
+
+@functools.partial(jax.jit, static_argnames=("params", "local_alignment"))
+def sw_full_batch(genome: jax.Array, read: jax.Array, revcmpl: jax.Array,
+                  params: SWParams = SWParams(),
+                  local_alignment: bool = True):
+    """Full 3-state DP for a batch of (window, read) pairs.
+
+    Args:
+      genome: int [B, G] codes, padded with GENOME_PAD (-1).
+      read:   int [B, R] codes, padded with READ_PAD (-2).
+      revcmpl: bool [B] — flip tie-break preferences for these lanes.
+      local_alignment: local (default) vs glocal (whole read must align).
+
+    Returns:
+      score:  int32 [B]
+      best_i: int32 [B] read index of the alignment's last cell
+      best_j: int32 [B] window index of the alignment's last cell
+      states: int32 [B, 3] the (NW, N, W) scores at the best cell
+      bits:   uint8 [n_diag, B, R] packed back-pointers; bits[i+j, b, i]
+              belongs to cell (i, j).
+    """
+    genome = genome.astype(jnp.int32)
+    read = read.astype(jnp.int32)
+    B, G = genome.shape
+    _, R = read.shape
+    rc = revcmpl.astype(bool)[:, None]
+    loc = bool(local_alignment)
+
+    m = jnp.int32(params.match)
+    x = jnp.int32(params.mismatch)
+    aoe = jnp.int32(-(params.a_gap_open + params.a_gap_extend))
+    ae = jnp.int32(-params.a_gap_extend)
+    boe = jnp.int32(-(params.b_gap_open + params.b_gap_extend))
+    be = jnp.int32(-params.b_gap_extend)
+    a_go = jnp.int32(params.a_gap_open)   # border W state (negative)
+    b_go = jnp.int32(params.b_gap_open)   # border N state
+
+    rlen = jnp.sum(read >= 0, axis=1)
+    glen = jnp.sum(genome >= 0, axis=1)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+
+    plane = lambda fill: jnp.full((B, R), fill, jnp.int32)
+    nw_d1, nw_d2 = plane(NEG_INF), plane(NEG_INF)
+    n_d1, n_d2 = plane(NEG_INF), plane(NEG_INF)
+    w_d1, w_d2 = plane(NEG_INF), plane(NEG_INF)
+    gdiag = plane(GENOME_PAD)
+    best = jnp.zeros((B,), jnp.int32)
+    best_i = jnp.zeros((B,), jnp.int32)
+    best_j = jnp.zeros((B,), jnp.int32)
+    best_states = jnp.zeros((B, 3), jnp.int32)
+
+    n_diag = G + R - 1
+    genome_p = jnp.pad(genome, ((0, 0), (0, R)), constant_values=GENOME_PAD)
+
+    def shift(arr, fill):
+        return jnp.concatenate(
+            [jnp.full((B, 1), fill, arr.dtype), arr[:, :-1]], axis=1)
+
+    def step(carry, d):
+        (nw_d1, nw_d2, n_d1, n_d2, w_d1, w_d2, gdiag,
+         best, best_i, best_j, best_states) = carry
+
+        gcol = jax.lax.dynamic_slice_in_dim(genome_p, d, 1, axis=1)
+        gdiag = jnp.concatenate([gcol, gdiag[:, :-1]], axis=1)
+        jj = d - ii
+        at_i0 = ii == 0
+        at_j0 = jj == 0
+
+        # --- predecessor states with virtual borders substituted ---
+        # Virtual row -1 (i-1 < 0): local-style init everywhere
+        #   (sw-full-ls.c:194-196): NW=0, N=b_gap_open, W=a_gap_open.
+        # Virtual column -1 (j-1 < 0, i >= 0): local => same init;
+        #   glocal => -inf (init_cell(.., 0), sw-full-ls.c:228-233).
+        col_nw = jnp.int32(0) if loc else jnp.int32(NEG_INF)
+        col_n = b_go if loc else jnp.int32(NEG_INF)
+        col_w = a_go if loc else jnp.int32(NEG_INF)
+
+        # west predecessor (i, j-1): diag d-1 slot i
+        p_w_nw = jnp.where(at_j0, col_nw, nw_d1)
+        p_w_w = jnp.where(at_j0, col_w, w_d1)
+        # north predecessor (i-1, j): diag d-1 slot i-1
+        p_n_nw = jnp.where(at_i0, 0, shift(nw_d1, NEG_INF))
+        p_n_n = jnp.where(at_i0, b_go, shift(n_d1, NEG_INF))
+        # northwest predecessor (i-1, j-1): diag d-2 slot i-1
+        p_d_nw = jnp.where(at_i0, 0, jnp.where(at_j0, col_nw, shift(nw_d2, NEG_INF)))
+        p_d_n = jnp.where(at_i0, b_go, jnp.where(at_j0, col_n, shift(n_d2, NEG_INF)))
+        p_d_w = jnp.where(at_i0, a_go, jnp.where(at_j0, col_w, shift(w_d2, NEG_INF)))
+
+        ms = jnp.where(gdiag == read, m, x)
+
+        # --- NW state ---
+        fs, fp = _pick((p_d_nw + ms, jnp.uint8(NW_FROM_NW)),
+                       (p_d_n + ms, jnp.uint8(NW_FROM_N)),
+                       (p_d_w + ms, jnp.uint8(NW_FROM_W)))
+        rs, rp = _pick((p_d_w + ms, jnp.uint8(NW_FROM_W)),
+                       (p_d_n + ms, jnp.uint8(NW_FROM_N)),
+                       (p_d_nw + ms, jnp.uint8(NW_FROM_NW)))
+        s_nw = jnp.where(rc, rs, fs)
+        p_nw = jnp.where(rc, rp, fp)
+        # --- N state (b gap: consumes read char) ---
+        fs, fp = _pick((p_n_nw - boe, jnp.uint8(N_FROM_NW)),
+                       (p_n_n - be, jnp.uint8(N_FROM_N)))
+        rs, rp = _pick((p_n_n - be, jnp.uint8(N_FROM_N)),
+                       (p_n_nw - boe, jnp.uint8(N_FROM_NW)))
+        s_n = jnp.where(rc, rs, fs)
+        p_n = jnp.where(rc, rp, fp)
+        # --- W state (a gap: consumes genome char) ---
+        fs, fp = _pick((p_w_nw - aoe, jnp.uint8(W_FROM_NW)),
+                       (p_w_w - ae, jnp.uint8(W_FROM_W)))
+        rs, rp = _pick((p_w_w - ae, jnp.uint8(W_FROM_W)),
+                       (p_w_nw - aoe, jnp.uint8(W_FROM_NW)))
+        s_w = jnp.where(rc, rs, fs)
+        p_w = jnp.where(rc, rp, fp)
+
+        if loc:  # zero-floor every state, zeroing its pointer (":293-350")
+            z = s_nw <= 0
+            s_nw = jnp.where(z, 0, s_nw); p_nw = jnp.where(z, 0, p_nw)
+            z = s_n <= 0
+            s_n = jnp.where(z, 0, s_n); p_n = jnp.where(z, 0, p_n)
+            z = s_w <= 0
+            s_w = jnp.where(z, 0, s_w); p_w = jnp.where(z, 0, p_w)
+
+        valid = (ii <= d) & (jj >= 0) & (ii < rlen[:, None]) & (jj < glen[:, None])
+        fill_s = 0 if loc else NEG_INF
+        s_nw = jnp.where(valid, s_nw, fill_s)
+        s_n = jnp.where(valid, s_n, fill_s)
+        s_w = jnp.where(valid, s_w, fill_s)
+        p_nw = jnp.where(valid, p_nw, 0).astype(jnp.uint8)
+        p_n = jnp.where(valid, p_n, 0).astype(jnp.uint8)
+        p_w = jnp.where(valid, p_w, 0).astype(jnp.uint8)
+
+        # --- best-cell tracking, replicating row-major first-strict-max ---
+        cell = jnp.maximum(jnp.maximum(s_nw, s_n), s_w)
+        eligible = valid if loc else (valid & (ii == rlen[:, None] - 1))
+        cell = jnp.where(eligible, cell, NEG_INF)
+        diag_best = jnp.max(cell, axis=1)
+        slot = jnp.argmax(cell, axis=1).astype(jnp.int32)  # lowest i on ties
+        cand_i, cand_j = slot, d - slot
+        improved = (diag_best > best) | ((diag_best == best) & (diag_best > 0)
+                                         & (cand_i < best_i))
+        best = jnp.where(improved, diag_best, best)
+        best_i = jnp.where(improved, cand_i, best_i)
+        best_j = jnp.where(improved, cand_j, best_j)
+        take = jnp.take_along_axis
+        sl = slot[:, None]
+        cand_states = jnp.concatenate(
+            [take(s_nw, sl, 1), take(s_n, sl, 1), take(s_w, sl, 1)], axis=1)
+        best_states = jnp.where(improved[:, None], cand_states, best_states)
+
+        bits = (p_nw | (p_n << 2) | (p_w << 4)).astype(jnp.uint8)
+        carry = (s_nw, nw_d1, s_n, n_d1, s_w, w_d1, gdiag,
+                 best, best_i, best_j, best_states)
+        return carry, bits
+
+    carry0 = (nw_d1, nw_d2, n_d1, n_d2, w_d1, w_d2, gdiag,
+              best, best_i, best_j, best_states)
+    carry, bits = jax.lax.scan(step, carry0,
+                               jnp.arange(n_diag, dtype=jnp.int32))
+    (_, _, _, _, _, _, _, best, best_i, best_j, best_states) = carry
+    if not loc:
+        best = jnp.maximum(best, 0)  # degenerate all-neg case
+    return best, best_i, best_j, best_states, bits
+
+
+# ---------------------------------------------------------------------------
+# Host-side traceback
+# ---------------------------------------------------------------------------
+_NW_PRED = {NW_FROM_NW: STATE_NW, NW_FROM_N: STATE_N, NW_FROM_W: STATE_W}
+_N_PRED = {N_FROM_N: STATE_N, N_FROM_NW: STATE_NW}
+_W_PRED = {W_FROM_W: STATE_W, W_FROM_NW: STATE_NW}
+
+
+def traceback_one(bits: np.ndarray, b: int, i: int, j: int,
+                  states: np.ndarray, genome_row: np.ndarray,
+                  read_row: np.ndarray, score: int) -> SWAlignment:
+    """Walk the packed direction bits for one lane (do_backtrace,
+    sw-full-ls.c:413-516)."""
+    res = SWAlignment(score=int(score))
+    # choose starting state: NW preferred, then W, then N (strictly greater)
+    s_nw, s_n, s_w = int(states[0]), int(states[1]), int(states[2])
+    state, s_best = STATE_NW, s_nw
+    if s_w > s_best:
+        state, s_best = STATE_W, s_w
+    if s_n > s_best:
+        state, s_best = STATE_N, s_n
+    ops: list[int] = []
+    while i >= 0 and j >= 0:
+        cell = int(bits[i + j, b, i])
+        p_nw, p_n, p_w = cell & 3, (cell >> 2) & 3, (cell >> 4) & 3
+        if state == STATE_NW:
+            ptr = p_nw
+            if ptr == 0:
+                break
+            ops.append(OP_MATCH)
+            if genome_row[j] == read_row[i]:
+                res.matches += 1
+            else:
+                res.mismatches += 1
+            res.read_start, res.genome_start = i, j
+            i -= 1
+            j -= 1
+            state = _NW_PRED[ptr]
+        elif state == STATE_N:
+            ptr = p_n
+            if ptr == 0:
+                break
+            ops.append(OP_DEL)
+            res.deletions += 1
+            res.read_start = i
+            i -= 1
+            state = _N_PRED[ptr]
+        else:
+            ptr = p_w
+            if ptr == 0:
+                break
+            ops.append(OP_INS)
+            res.insertions += 1
+            res.genome_start = j
+            j -= 1
+            state = _W_PRED[ptr]
+    res.ops = np.array(ops[::-1], dtype=np.uint8)
+    res.rmapped = res.matches + res.mismatches + res.deletions
+    res.gmapped = res.matches + res.mismatches + res.insertions
+    return res
+
+
+def render_alignment(res: SWAlignment, genome_row: np.ndarray,
+                     read_row: np.ndarray) -> None:
+    """Fill dbalign/qralign strings (pretty_print, sw-full-ls.c:524-560)."""
+    from shrimp_tpu import dna
+
+    d_chars, q_chars = [], []
+    gi, ri = res.genome_start, res.read_start
+    for op in res.ops:
+        if op == OP_MATCH:
+            d_chars.append(dna.LS_CHARS[genome_row[gi] & 15])
+            q_chars.append(dna.LS_CHARS[read_row[ri] & 15])
+            gi += 1
+            ri += 1
+        elif op == OP_INS:
+            d_chars.append(dna.LS_CHARS[genome_row[gi] & 15])
+            q_chars.append(ord("-"))
+            gi += 1
+        else:
+            d_chars.append(ord("-"))
+            q_chars.append(dna.LS_CHARS[read_row[ri] & 15])
+            ri += 1
+    res.dbalign = bytes(d_chars).decode()
+    res.qralign = bytes(q_chars).decode()
+
+
+def sw_full_with_traceback(genome: np.ndarray, read: np.ndarray,
+                           revcmpl: np.ndarray,
+                           params: SWParams = SWParams(),
+                           local_alignment: bool = True,
+                           render: bool = True) -> list[SWAlignment]:
+    """Device DP + host traceback for a batch; returns one SWAlignment per
+    lane (lanes whose score is 0 return an empty alignment)."""
+    score, bi, bj, states, bits = sw_full_batch(
+        jnp.asarray(genome), jnp.asarray(read), jnp.asarray(revcmpl),
+        params, local_alignment)
+    score = np.asarray(score)
+    bi = np.asarray(bi)
+    bj = np.asarray(bj)
+    states = np.asarray(states)
+    bits = np.asarray(bits)
+    out = []
+    for b in range(genome.shape[0]):
+        if score[b] <= 0:
+            out.append(SWAlignment(score=int(score[b])))
+            continue
+        res = traceback_one(bits, b, int(bi[b]), int(bj[b]), states[b],
+                            genome[b], read[b], int(score[b]))
+        if render:
+            render_alignment(res, genome[b], read[b])
+        out.append(res)
+    return out
