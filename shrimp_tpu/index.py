@@ -1,0 +1,239 @@
+"""Spaced-seed genome index — CSR posting lists (L1/L3).
+
+The reference builds, per seed, a table `genomemap[sn][mapidx] -> uint32*`
+of growing position lists by sliding a window over the concatenated genome
+(`gmapper/genome.c:1141-1166`).  The TPU-native layout is CSR: one
+`offsets[4^weight + 1]` array plus one flat `positions[]` array per seed,
+built by a vectorized counting sort — gather-friendly, serializable, and
+shardable by genome range.
+
+Semantics mirrored:
+  * positions are **global** coordinates over concatenated contigs; the value
+    stored for a window ending at global i is `i - span + 1` (genome.c:1164).
+  * windows containing N/X are skipped (`load` reset, genome.c:1148-1152).
+  * mapidx packs the seed's '1' positions, 2 bits per base (`code & 3`;
+    IUPAC codes alias onto ACGT — gmapper.h:342-366 and its XXX note), with
+    the base under the **last** pattern position most significant.
+  * `-H` hash mode maps the extracted kmer into 2^24 buckets for seeds whose
+    weight exceeds 14 (gmapper.h:321-336); we use a different (but fixed)
+    64-bit mix, which only changes which rare kmers collide.
+  * list trimming: lists longer than a cutoff are dropped wholesale
+    (`trim_genome`, genome.c:1188; query-time skip, mapping.c:901-903).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from shrimp_tpu import dna
+from shrimp_tpu.io import fastx
+from shrimp_tpu.seeds import SeedSet, make_seed_set
+
+INDEX_FORMAT_VERSION = 1   # analogue of map_version (gmapper-definitions.h:310)
+
+HASH_BITS = 24
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Fixed 64-bit mix (splitmix64 finalizer) for -H bucket hashing."""
+    x = x.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def compute_mapidx(codes: np.ndarray, starts: np.ndarray, ones_idx: np.ndarray,
+                   use_hashing: bool = False) -> np.ndarray:
+    """mapidx for windows starting at `starts` of a code array.
+
+    mapidx = sum_k (codes[start + ones_idx[k]] & 3) << 2k, matching
+    kmer_to_mapidx_orig's bit order (gmapper.h:348-366).
+    """
+    w = len(ones_idx)
+    acc = np.zeros(len(starts), dtype=np.uint64)
+    for k in range(w):
+        acc |= ((codes[starts + ones_idx[k]].astype(np.uint64)) & np.uint64(3)) \
+            << np.uint64(2 * k)
+    if use_hashing:
+        return (_mix64(acc) & np.uint64((1 << HASH_BITS) - 1)).astype(np.uint32)
+    return acc.astype(np.uint32)
+
+
+@dataclass
+class GenomeIndex:
+    """In-memory (host) genome index; `device()` ships it to TPU HBM."""
+
+    contig_names: list[str]
+    contig_offsets: np.ndarray        # int64[C] global start of each contig
+    contig_len: np.ndarray            # int64[C]
+    genome: np.ndarray                # int8[L] concatenated letter-space codes
+    seed_set: SeedSet
+    offsets: list[np.ndarray]         # per seed: int64[buckets + 1]
+    positions: list[np.ndarray]       # per seed: uint32[total]
+    colour_space: bool = False
+    genome_cs: np.ndarray | None = None   # colour translation (CS mode)
+    list_cutoff: int = 0xFFFFFFFF     # DEF_LIST_CUTOFF
+    stats: dict = field(default_factory=dict)
+
+    @property
+    def total_len(self) -> int:
+        return int(self.genome.shape[0])
+
+    @property
+    def num_contigs(self) -> int:
+        return len(self.contig_names)
+
+    def contig_of(self, pos: np.ndarray) -> np.ndarray:
+        """Global position -> contig number (get_contig_num,
+        gmapper.h:374-406)."""
+        return np.searchsorted(self.contig_offsets, pos, side="right") - 1
+
+    def list_length_histogram(self, sn: int, bins: int = 32) -> np.ndarray:
+        """`-Y` projection-list histogram (genome.c:834)."""
+        lens = np.diff(self.offsets[sn])
+        lens = lens[lens > 0]
+        return np.histogram(lens, bins=bins)[0]
+
+    def trim(self, cutoff: int) -> None:
+        """Drop posting lists longer than cutoff (trim_genome,
+        genome.c:1188-1207)."""
+        for sn in range(len(self.offsets)):
+            lens = np.diff(self.offsets[sn])
+            keep = lens <= cutoff
+            new_lens = np.where(keep, lens, 0)
+            new_off = np.zeros_like(self.offsets[sn])
+            np.cumsum(new_lens, out=new_off[1:])
+            pos = self.positions[sn]
+            mask = np.repeat(keep, lens)
+            self.positions[sn] = pos[mask]
+            self.offsets[sn] = new_off
+        self.list_cutoff = cutoff
+
+    # ------------------------------------------------------------------
+    # persistence (the .genome/.seed.N save/load, genome.c:15-273,606-833)
+    # ------------------------------------------------------------------
+    def save(self, prefix: str) -> None:
+        meta = {
+            "format_version": INDEX_FORMAT_VERSION,
+            "contig_names": self.contig_names,
+            "colour_space": self.colour_space,
+            "list_cutoff": int(self.list_cutoff),
+            "seeds": [s.pattern for s in self.seed_set.seeds],
+            "use_hashing": self.seed_set.use_hashing,
+        }
+        with open(prefix + ".meta.json", "w") as fh:
+            json.dump(meta, fh)
+        arrays = {
+            "contig_offsets": self.contig_offsets,
+            "contig_len": self.contig_len,
+            "genome": self.genome,
+        }
+        if self.genome_cs is not None:
+            arrays["genome_cs"] = self.genome_cs
+        for sn in range(len(self.offsets)):
+            arrays[f"offsets_{sn}"] = self.offsets[sn]
+            arrays[f"positions_{sn}"] = self.positions[sn]
+        np.savez_compressed(prefix + ".idx.npz", **arrays)
+
+    @classmethod
+    def load(cls, prefix: str) -> "GenomeIndex":
+        with open(prefix + ".meta.json") as fh:
+            meta = json.load(fh)
+        if meta["format_version"] != INDEX_FORMAT_VERSION:
+            raise ValueError(
+                f"index format {meta['format_version']} != "
+                f"{INDEX_FORMAT_VERSION}")
+        z = np.load(prefix + ".idx.npz")
+        seed_set = make_seed_set(meta["seeds"],
+                                 use_hashing=meta["use_hashing"])
+        n = len(meta["seeds"])
+        return cls(
+            contig_names=meta["contig_names"],
+            contig_offsets=z["contig_offsets"],
+            contig_len=z["contig_len"],
+            genome=z["genome"],
+            seed_set=seed_set,
+            offsets=[z[f"offsets_{sn}"] for sn in range(n)],
+            positions=[z[f"positions_{sn}"] for sn in range(n)],
+            colour_space=meta["colour_space"],
+            genome_cs=z["genome_cs"] if "genome_cs" in z else None,
+            list_cutoff=meta["list_cutoff"],
+        )
+
+
+def build_index(contigs: list[fastx.Contig], seed_set: SeedSet | None = None,
+                colour_space: bool = False) -> GenomeIndex:
+    """Build the CSR index from contigs (load_genome, genome.c:1012-1186)."""
+    if seed_set is None:
+        seed_set = make_seed_set()
+
+    names = [c.name for c in contigs]
+    lens = np.array([len(c.codes) for c in contigs], dtype=np.int64)
+    offs = np.zeros(len(contigs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    genome = np.concatenate([c.codes for c in contigs]).astype(np.int8)
+    L = len(genome)
+
+    genome_cs = None
+    index_codes = genome
+    if colour_space:
+        # CS indexes the colour translation of each contig; colour 0 of a
+        # contig pairs its first base with virtual T (genome.c:1135,
+        # bitfield_to_colourspace)
+        parts = []
+        for c in contigs:
+            parts.append(dna.letters_to_colours(c.codes, dna.BASE_T))
+        genome_cs = np.concatenate(parts).astype(np.int8)
+        index_codes = genome_cs
+
+    # windows containing N/X are skipped; windows never span contigs
+    is_n = (index_codes == dna.BASE_N).astype(np.int64)
+    n_csum = np.concatenate(([0], np.cumsum(is_n)))
+
+    contig_of = np.repeat(np.arange(len(contigs)), lens)
+
+    offsets_per_seed: list[np.ndarray] = []
+    positions_per_seed: list[np.ndarray] = []
+    n_buckets_list = seed_set.table_sizes()
+
+    for sn, seed in enumerate(seed_set.seeds):
+        span = seed.span
+        if L < span:
+            offsets_per_seed.append(np.zeros(n_buckets_list[sn] + 1, np.int64))
+            positions_per_seed.append(np.zeros(0, np.uint32))
+            continue
+        starts = np.arange(0, L - span + 1, dtype=np.int64)
+        valid = (n_csum[starts + span] - n_csum[starts]) == 0
+        valid &= contig_of[starts] == contig_of[starts + span - 1]
+        starts = starts[valid]
+        mapidx = compute_mapidx(index_codes, starts, seed.ones_idx,
+                                seed_set.use_hashing)
+        nb = n_buckets_list[sn]
+        counts = np.bincount(mapidx, minlength=nb).astype(np.int64)
+        off = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        order = np.argsort(mapidx, kind="stable")
+        positions_per_seed.append(starts[order].astype(np.uint32))
+        offsets_per_seed.append(off)
+
+    return GenomeIndex(
+        contig_names=names,
+        contig_offsets=offs,
+        contig_len=lens,
+        genome=genome,
+        seed_set=seed_set,
+        offsets=offsets_per_seed,
+        positions=positions_per_seed,
+        colour_space=colour_space,
+        genome_cs=genome_cs,
+    )
+
+
+def build_index_from_fasta(path: str, seed_set: SeedSet | None = None,
+                           colour_space: bool = False) -> GenomeIndex:
+    return build_index(list(fastx.iter_contigs(path)), seed_set, colour_space)
