@@ -80,17 +80,49 @@ def _pick(*score_ptr_pairs):
     return best, which
 
 
+def compute_band(rect_x: np.ndarray, rect_y: np.ndarray, rect_len: np.ndarray,
+                 rect_width: np.ndarray, glen: np.ndarray,
+                 R: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row band limits from an anchor rectangle (anchor_get_x_range,
+    common/anchors.c:67-96).  The rectangle is the already-joined+widened
+    parallelogram: origin (x, y), diagonal extent `len`, anti-diagonal
+    extent `width`.  Returns (x_min[B, R], x_max[B, R])."""
+    B = len(rect_x)
+    i = np.arange(R)[None, :]
+    rx = rect_x[:, None].astype(np.int64)
+    ry = rect_y[:, None].astype(np.int64)
+    rl = rect_len[:, None].astype(np.int64)
+    rw = rect_width[:, None].astype(np.int64)
+    gl = glen[:, None].astype(np.int64)
+
+    x_min = np.where(i < ry, 0,
+                     np.where(i <= ry + rl - 1, rx + (i - ry), rx + rl))
+    x_min = np.clip(x_min, 0, gl - 1)
+    yw = ry - (rw - 1)
+    x_max = np.where(i < yw, rx + rw - 2,
+                     np.where(i <= yw + rl - 1, rx + (rw - 1) + (i - yw),
+                              gl - 1))
+    x_max = np.clip(x_max, 0, gl - 1)
+    return x_min.astype(np.int32), x_max.astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "local_alignment"))
 def sw_full_batch(genome: jax.Array, read: jax.Array, revcmpl: jax.Array,
                   params: SWParams = SWParams(),
-                  local_alignment: bool = True):
+                  local_alignment: bool = True,
+                  band_xmin: jax.Array | None = None,
+                  band_xmax: jax.Array | None = None):
     """Full 3-state DP for a batch of (window, read) pairs.
 
     Args:
       genome: int [B, G] codes, padded with GENOME_PAD (-1).
       read:   int [B, R] codes, padded with READ_PAD (-2).
       revcmpl: bool [B] — flip tie-break preferences for these lanes.
-      local_alignment: local (default) vs glocal (whole read must align).
+      local_alignment: local vs glocal (whole read must align; the
+        reference's default since v2.2.0 — Gflag, gmapper.h:98).
+      band_xmin/band_xmax: optional int32 [B, R] anchor-band column limits
+        per read row (from compute_band).  Out-of-band cells take border
+        values, replicating the banded DP (sw-full-ls.c:175-234,377-384).
 
     Returns:
       score:  int32 [B]
@@ -201,6 +233,22 @@ def sw_full_batch(genome: jax.Array, read: jax.Array, revcmpl: jax.Array,
             s_n = jnp.where(z, 0, s_n); p_n = jnp.where(z, 0, p_n)
             z = s_w <= 0
             s_w = jnp.where(z, 0, s_w); p_w = jnp.where(z, 0, p_w)
+
+        if band_xmin is not None:
+            # out-of-band cells take fresh border values (init_cell calls in
+            # the banded row loop, sw-full-ls.c:228-233,377-384)
+            in_band = (jj >= band_xmin) & (jj <= band_xmax)
+            if loc:
+                s_nw = jnp.where(in_band, s_nw, 0)
+                s_n = jnp.where(in_band, s_n, b_go)
+                s_w = jnp.where(in_band, s_w, a_go)
+            else:
+                s_nw = jnp.where(in_band, s_nw, NEG_INF)
+                s_n = jnp.where(in_band, s_n, NEG_INF)
+                s_w = jnp.where(in_band, s_w, NEG_INF)
+            p_nw = jnp.where(in_band, p_nw, 0).astype(jnp.uint8)
+            p_n = jnp.where(in_band, p_n, 0).astype(jnp.uint8)
+            p_w = jnp.where(in_band, p_w, 0).astype(jnp.uint8)
 
         valid = (ii <= d) & (jj >= 0) & (ii < rlen[:, None]) & (jj < glen[:, None])
         fill_s = 0 if loc else NEG_INF
@@ -335,12 +383,17 @@ def sw_full_with_traceback(genome: np.ndarray, read: np.ndarray,
                            revcmpl: np.ndarray,
                            params: SWParams = SWParams(),
                            local_alignment: bool = True,
-                           render: bool = True) -> list[SWAlignment]:
+                           render: bool = True,
+                           band_xmin: np.ndarray | None = None,
+                           band_xmax: np.ndarray | None = None
+                           ) -> list[SWAlignment]:
     """Device DP + host traceback for a batch; returns one SWAlignment per
     lane (lanes whose score is 0 return an empty alignment)."""
     score, bi, bj, states, bits = sw_full_batch(
         jnp.asarray(genome), jnp.asarray(read), jnp.asarray(revcmpl),
-        params, local_alignment)
+        params, local_alignment,
+        None if band_xmin is None else jnp.asarray(band_xmin),
+        None if band_xmax is None else jnp.asarray(band_xmax))
     score = np.asarray(score)
     bi = np.asarray(bi)
     bj = np.asarray(bj)

@@ -1,0 +1,124 @@
+"""Mapping option-sets — the reference's strategy-config system.
+
+Mirrors `read_mapping_options_t` (gmapper/gmapper-definitions.h:262-278) and
+its construction (gmapper/gmapper.c:2599-2716).  A read is driven through an
+*array* of option sets until one reports `done` — that is how half-paired
+fallback and multi-round mapping strategies are expressed (SURVEY.md §5.6).
+
+Threshold convention (common/util.h:44-56): values < 0 are absolute scores
+(stored negated); values >= 0 are percentages of the max score.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from shrimp_tpu.ops.params import SWParams
+
+
+def is_absolute(x: float) -> bool:
+    return x < 0
+
+
+def abs_or_pct(x: float, base: float) -> float:
+    return -x if x < 0 else base * (x / 100.0)
+
+
+@dataclass
+class RegionOptions:
+    recompute: bool = True
+    min_seed: int = 0          # unused placeholder for parity
+
+
+@dataclass
+class AnchorListOptions:
+    recompute: bool = True
+    collapse: bool = True
+    use_region_counts: bool = False   # region pruning (off until L6 tuning)
+    use_mp_region_counts: int = 0
+
+
+@dataclass
+class HitListOptions:
+    recompute: bool = True
+    gapless: bool = False
+    match_mode: int = 2               # DEF_MATCH_MODE_UNPAIRED
+    threshold: float = 55.0           # DEF_WINDOW_GEN_THRESHOLD
+
+
+@dataclass
+class Pass1Options:
+    recompute: bool = True
+    only_paired: bool = False
+    gapless: bool = False
+    num_outputs: int = 30             # 3 * DEF_NUM_OUTPUTS (gmapper.c:2609)
+    threshold: float = 50.0           # DEF_SW_FULL_THRESHOLD (ls)
+    window_overlap: float = 90.0      # DEF_WINDOW_OVERLAP
+    min_matches: int = 2
+
+
+@dataclass
+class Pass2Options:
+    strata: bool = False
+    save_outputs: bool = False
+    num_outputs: int = 10             # DEF_NUM_OUTPUTS
+    threshold: float = 50.0
+
+
+@dataclass
+class StopOptions:
+    stop_count: int = 0
+    stop_threshold: float = 50.0
+
+
+@dataclass
+class ReadMappingOptions:
+    regions: RegionOptions = field(default_factory=RegionOptions)
+    anchor_list: AnchorListOptions = field(default_factory=AnchorListOptions)
+    hit_list: HitListOptions = field(default_factory=HitListOptions)
+    pass1: Pass1Options = field(default_factory=Pass1Options)
+    pass2: Pass2Options = field(default_factory=Pass2Options)
+    stop: StopOptions = field(default_factory=StopOptions)
+
+
+@dataclass
+class MapperConfig:
+    """Global knobs (the EXTERN globals registry, gmapper/gmapper.h:30-226)."""
+
+    colour_space: bool = False
+    params: SWParams = field(default_factory=SWParams.letter_space)
+    window_len: float = 140.0         # DEF_WINDOW_LEN (pct of read len)
+    window_overlap: float = 90.0
+    num_outputs: int = 10
+    max_alignments: int = 0           # 0 = unlimited
+    longest_read_len: int = 1000
+    list_cutoff: int = 0xFFFFFFFF
+    anchor_width: int = 8
+    match_mode_unpaired: int = 2
+    gapless: bool = False
+    global_alignment: bool = True     # Gflag; global by default since v2.2.0
+    rev_tiebreak: bool = True         # Tflag (gmapper.h:91, default true)
+    strata: bool = False
+    half_paired: bool = True
+    compute_mapping_qualities: bool = True
+    single_best_mapping: bool = False
+    sam_unaligned: bool = False
+    qual_delta: int = 33              # PHRED offset for *letter space* output
+    anchor_list_big_gap: int = 1024
+    # candidate-generation capacity knobs (TPU fixed-shape budgets)
+    max_anchors_per_strand: int = 4096
+    hit_lookback: int = 64            # window-pairing lookback depth
+
+    def unpaired_options(self) -> list[ReadMappingOptions]:
+        """Default single unpaired option set (gmapper.c:2601-2613)."""
+        opts = ReadMappingOptions()
+        opts.hit_list.match_mode = self.match_mode_unpaired
+        opts.hit_list.gapless = self.gapless
+        opts.pass1.gapless = self.gapless
+        opts.pass1.num_outputs = 3 * self.num_outputs
+        opts.pass1.window_overlap = self.window_overlap
+        opts.pass2.num_outputs = self.num_outputs
+        opts.pass2.strata = self.strata
+        if self.colour_space:
+            opts.pass1.threshold = 47.0   # DEF_SW_VECT_THRESHOLD
+        return [opts]
