@@ -1,0 +1,101 @@
+"""Multi-chip sharding: the TPU-native replacement for split-db + mergesam.
+
+The reference scales by (a) sharding reads across jobs and (b) sharding the
+genome into RAM-sized pieces, then recombining mapping qualities exactly from
+Z-field side channels (`SPLITTING_AND_MERGING`, `not_in_dist/MAPPING_QUALITIES`,
+`mergesam/sam_reader.c:127-270`).  The merge algebra is associative:
+
+    z1 (posterior sum)  -> psum over the genome-shard axis
+    top-k hit selection -> all_gather scores + local top_k
+
+so on TPU the whole cluster file-merge collapses into two collectives over the
+ICI mesh.  This module provides the mesh plumbing and the collective merge
+step used by the distributed mapper and by `__graft_entry__.dryrun_multichip`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from shrimp_tpu.ops.params import SWParams
+from shrimp_tpu.ops.sw_vector import sw_score_batch
+
+READS_AXIS = "reads"     # data-parallel axis (splitreads.py analogue)
+GENOME_AXIS = "genome"   # index-shard axis (split-db.py analogue)
+
+
+def make_mesh(n_devices: int | None = None,
+              genome_shards: int = 1) -> Mesh:
+    """Build a (reads x genome) device mesh.
+
+    genome_shards devices along the index axis; the rest data-parallel.
+    """
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if n % genome_shards != 0:
+        raise ValueError(f"{n} devices not divisible by {genome_shards}")
+    arr = np.array(devs).reshape(n // genome_shards, genome_shards)
+    return Mesh(arr, (READS_AXIS, GENOME_AXIS))
+
+
+def merge_scores_across_shards(scores: jax.Array, posteriors: jax.Array,
+                               k: int):
+    """Inside-shard_map collective merge (the mergesam reduce).
+
+    Args:
+      scores:     int32 [H] per-candidate scores on this genome shard.
+      posteriors: float32 [H] per-candidate posteriors on this shard.
+      k: top-k to keep globally.
+
+    Returns (top_scores [k], z1 scalar): the cross-shard top-k candidate
+    scores and the exact global posterior sum (Z1 of MAPPING_QUALITIES
+    Part 1c: z1 := sum_j z1_j).
+    """
+    z1 = jax.lax.psum(jnp.sum(posteriors), GENOME_AXIS)
+    all_scores = jax.lax.all_gather(scores, GENOME_AXIS, tiled=True)
+    top, _ = jax.lax.top_k(all_scores, k)
+    return top, z1
+
+
+def sharded_pass1_step(mesh: Mesh, params: SWParams = SWParams(), k: int = 10):
+    """Build the jitted multi-chip pass-1 step.
+
+    Reads are sharded over READS_AXIS; each GENOME_AXIS member scores its
+    own candidate windows (gathered from its index shard) and the shards
+    merge via collectives.  Returns a function
+
+        step(windows[B, S, G], reads[B, 1, R]) -> (top[B', k], z1[B'])
+
+    where B is the global read-batch, S the genome-shard axis extent, and
+    B' = B / reads-axis-size per device.
+    """
+    from jax import shard_map
+
+    def per_device(windows, reads):
+        # windows: [b, 1, G] local; reads: [b, 1, R] local
+        b, s, G = windows.shape
+        _, _, R = reads.shape
+        scores = sw_score_batch(windows.reshape(b * s, G),
+                                reads.reshape(b * s, R), params)
+        post = jnp.exp2(scores.astype(jnp.float32) / 100.0)  # placeholder map
+        sc = scores.reshape(b, s)
+        pp = post.reshape(b, s)
+        z1 = jax.lax.psum(jnp.sum(pp, axis=1), GENOME_AXIS)
+        gathered = jax.lax.all_gather(sc, GENOME_AXIS, axis=1, tiled=True)
+        top, _ = jax.lax.top_k(gathered, min(k, gathered.shape[1]))
+        return top, z1
+
+    fn = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(READS_AXIS, GENOME_AXIS, None),
+                  P(READS_AXIS, None, None)),
+        out_specs=(P(READS_AXIS, None), P(READS_AXIS)),
+        check_vma=False,
+    )  # check_vma off: scan carries start as unvarying constants
+    return jax.jit(fn)

@@ -1,11 +1,15 @@
 """Test configuration: force JAX onto an 8-device virtual CPU platform so
-sharding/collective paths are exercised without TPU hardware."""
+sharding/collective paths are exercised without TPU hardware.
+
+Note: the environment pre-imports jax (axon sitecustomize), so env vars alone
+are ignored — jax.config.update must run before any backend is initialized.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
