@@ -66,6 +66,32 @@ def cigar_string(cig: list[tuple[int, str]]) -> str:
     return "".join(f"{n}{op}" for n, op in cig) if cig else "*"
 
 
+def cigar_from_ops(ops, read_start_1: int, read_end_1: int,
+                   read_length: int) -> list[tuple[int, str]]:
+    """CIGAR from a traceback op array (sw_full.OP_*): OP_MATCH->M,
+    OP_INS (genome char vs read gap)->D, OP_DEL (read char vs genome
+    gap)->I — the same mapping make_cigar derives from alignment strings."""
+    cig: list[tuple[int, str]] = []
+    if read_start_1 > 1:
+        cig.append((read_start_1 - 1, "S"))
+    op_char = {0: "M", 1: "D", 2: "I"}
+    run_op = None
+    run_len = 0
+    for o in ops:
+        c = op_char[int(o)]
+        if c == run_op:
+            run_len += 1
+        else:
+            if run_op is not None:
+                cig.append((run_len, run_op))
+            run_op, run_len = c, 1
+    if run_op is not None:
+        cig.append((run_len, run_op))
+    if read_end_1 != read_length:
+        cig.append((read_length - read_end_1, "S"))
+    return cig
+
+
 @dataclass
 class SamRecord:
     qname: str
@@ -118,6 +144,45 @@ def sam_header(contig_names: list[str], contig_lens: list[int],
     if extra:
         lines.extend(extra)
     return lines
+
+
+def aligned_record_from_ops(*, name: str, seq_text: str, qual: str | None,
+                            contig_name: str, contig_len: int,
+                            genome_start0: int, read_start0: int,
+                            rmapped: int, gmapped: int,
+                            insertions: int, deletions: int, mismatches: int,
+                            ops, reverse_strand: bool,
+                            score_full: int, mapq_v: int,
+                            z0: float | None = None, z1: float | None = None,
+                            qual_delta: int = 33,
+                            read_len: int | None = None) -> SamRecord:
+    """aligned_record built from a traceback op array instead of alignment
+    strings (fast path — no string rendering)."""
+    read_length = read_len if read_len is not None else len(seq_text)
+    read_start_1 = read_start0 + 1
+    read_end_1 = read_start_1 + rmapped - 1
+    cig = cigar_from_ops(ops, read_start_1, read_end_1, read_length)
+    seq = clean_seq_text(seq_text)
+    if not reverse_strand:
+        pos = genome_start0 + 1
+    else:
+        right_most = contig_len - genome_start0
+        pos = right_most - (gmapped - 1)
+        seq = revcomp_text(seq)
+        cig = cig[::-1]
+    qual_out = "*"
+    if qual is not None:
+        qual_out = qual[::-1] if reverse_strand else qual
+        qual_out = rescale_qual(qual_out, qual_delta)
+    flag = 0x10 if reverse_strand else 0
+    tags = [f"AS:i:{score_full}"]
+    if z0 is not None and z1 is not None:
+        tags.append(f"Z0:i:{mapq.double_to_neglog(z0)}")
+        tags.append(f"Z1:i:{mapq.double_to_neglog(z1)}")
+    tags.append(f"NM:i:{mismatches + deletions + insertions}")
+    return SamRecord(
+        qname=name, flag=flag, rname=contig_name, pos=pos, mapq=mapq_v,
+        cigar=cigar_string(cig), seq=seq, qual=qual_out, tags=tags)
 
 
 def aligned_record(*, name: str, seq_text: str, qual: str | None,

@@ -379,6 +379,186 @@ def render_alignment(res: SWAlignment, genome_row: np.ndarray,
     res.qralign = bytes(q_chars).decode()
 
 
+@jax.jit
+def traceback_batch_jax(bits: jax.Array, bi: jax.Array, bj: jax.Array,
+                        states: jax.Array, genome: jax.Array,
+                        read: jax.Array, score: jax.Array):
+    """On-device traceback for all lanes at once (lax.scan over walk steps).
+
+    Avoids shipping the packed-bits plane to the host: only the compact
+    per-lane results and the op strings come back.  Returns the same dict of
+    arrays as `traceback_batch`.
+    """
+    n_diag, B, R = bits.shape
+    G = genome.shape[1]
+    max_steps = R + G
+    lanes = jnp.arange(B)
+
+    s_nw, s_n, s_w = states[:, 0], states[:, 1], states[:, 2]
+    state = jnp.full(B, STATE_NW, jnp.int32)
+    best = s_nw
+    take = s_w > best
+    state = jnp.where(take, STATE_W, state)
+    best = jnp.where(take, s_w, best)
+    state = jnp.where(s_n > best, STATE_N, state)
+
+    genome32 = genome.astype(jnp.int32)
+    read32 = read.astype(jnp.int32)
+
+    def step(carry, _):
+        (i, j, st, active, rs, gs, mt, mm, ins, dl, nops, ops) = carry
+        ii = jnp.maximum(i, 0).astype(jnp.int32)
+        jj = jnp.maximum(j, 0).astype(jnp.int32)
+        cell = bits[ii + jj, lanes, ii].astype(jnp.int32)
+        ptr = jnp.where(st == STATE_NW, cell & 3,
+                        jnp.where(st == STATE_N, (cell >> 2) & 3,
+                                  (cell >> 4) & 3))
+        step_active = active & (ptr != 0)
+        is_nw = step_active & (st == STATE_NW)
+        is_n = step_active & (st == STATE_N)
+        is_w = step_active & (st == STATE_W)
+
+        op = jnp.where(is_n, OP_DEL, jnp.where(is_w, OP_INS, OP_MATCH)
+                       ).astype(jnp.uint8)
+        slot = jnp.where(step_active, nops, max_steps)  # OOB drop when idle
+        ops = ops.at[lanes, slot].set(op, mode="drop")
+        nops = nops + step_active
+
+        eq = genome32[lanes, jnp.minimum(jj, G - 1)] == \
+            read32[lanes, jnp.minimum(ii, R - 1)]
+        mt = mt + (is_nw & eq)
+        mm = mm + (is_nw & ~eq)
+        dl = dl + is_n
+        ins = ins + is_w
+        rs = jnp.where(is_nw | is_n, i, rs)
+        gs = jnp.where(is_nw | is_w, j, gs)
+        i = i - (is_nw | is_n)
+        j = j - (is_nw | is_w)
+
+        nxt = jnp.where(
+            is_nw,
+            jnp.where(ptr == NW_FROM_NW, STATE_NW,
+                      jnp.where(ptr == NW_FROM_N, STATE_N, STATE_W)),
+            jnp.where(is_n,
+                      jnp.where(ptr == N_FROM_N, STATE_N, STATE_NW),
+                      jnp.where(ptr == W_FROM_W, STATE_W, STATE_NW)))
+        st = jnp.where(step_active, nxt, st)
+        active = step_active & (i >= 0) & (j >= 0)
+        return (i, j, st, active, rs, gs, mt, mm, ins, dl, nops, ops), None
+
+    zeros = jnp.zeros(B, jnp.int32)
+    carry0 = (bi.astype(jnp.int32), bj.astype(jnp.int32), state, score > 0,
+              zeros, zeros, zeros, zeros, zeros, zeros, zeros,
+              jnp.zeros((B, max_steps), jnp.uint8))
+    (i, j, st, active, rs, gs, mt, mm, ins, dl, nops,
+     ops), _ = jax.lax.scan(step, carry0, None, length=max_steps)
+
+    # ops were written newest-first; reverse each lane's prefix
+    k = jnp.arange(max_steps)[None, :]
+    src = jnp.clip(nops[:, None] - 1 - k, 0, max_steps - 1)
+    ops_rev = jnp.take_along_axis(ops, src, axis=1)
+    ops_rev = jnp.where(k < nops[:, None], ops_rev, 0).astype(jnp.uint8)
+
+    return {
+        "read_start": rs, "genome_start": gs,
+        "matches": mt, "mismatches": mm,
+        "insertions": ins, "deletions": dl,
+        "rmapped": mt + mm + dl, "gmapped": mt + mm + ins,
+        "ops": ops_rev, "ops_len": nops,
+    }
+
+
+def traceback_batch(bits: np.ndarray, bi: np.ndarray, bj: np.ndarray,
+                    states: np.ndarray, genome: np.ndarray,
+                    read: np.ndarray, score: np.ndarray):
+    """Vectorized traceback over all lanes at once.
+
+    Returns a dict of per-lane arrays: read_start, genome_start, rmapped,
+    gmapped, matches, mismatches, insertions, deletions, ops (uint8 [B, L]
+    front-aligned), ops_len.
+    """
+    B = len(bi)
+    _, _, R = bits.shape
+    G = genome.shape[1]
+    max_steps = R + G
+
+    # starting state per lane: NW preferred, then W, then N (strict >)
+    s_nw, s_n, s_w = states[:, 0], states[:, 1], states[:, 2]
+    state = np.zeros(B, np.int8)
+    best = s_nw.copy()
+    take = s_w > best
+    state[take] = STATE_W
+    best[take] = s_w[take]
+    take = s_n > best
+    state[take] = STATE_N
+
+    i = bi.astype(np.int64).copy()
+    j = bj.astype(np.int64).copy()
+    active = score > 0
+    ops = np.zeros((B, max_steps), np.uint8)
+    read_start = np.zeros(B, np.int64)
+    genome_start = np.zeros(B, np.int64)
+    matches = np.zeros(B, np.int64)
+    mismatches = np.zeros(B, np.int64)
+    insertions = np.zeros(B, np.int64)
+    deletions = np.zeros(B, np.int64)
+    n_ops = np.zeros(B, np.int64)
+
+    bits_flat = bits.reshape(-1)
+    lanes = np.arange(B, dtype=np.int64)
+    for _ in range(max_steps):
+        if not active.any():
+            break
+        ii = np.where(active, i, 0)
+        jj = np.where(active, j, 0)
+        cell = bits_flat[(ii + jj) * (B * R) + lanes * R + ii]
+        ptr = np.where(state == STATE_NW, cell & 3,
+                       np.where(state == STATE_N, (cell >> 2) & 3,
+                                (cell >> 4) & 3))
+        step_active = active & (ptr != 0)
+        is_nw = step_active & (state == STATE_NW)
+        is_n = step_active & (state == STATE_N)
+        is_w = step_active & (state == STATE_W)
+
+        # record ops (walk emits back-to-front; reversed afterwards)
+        op = np.where(is_n, OP_DEL, np.where(is_w, OP_INS, OP_MATCH))
+        ops[lanes[step_active], n_ops[step_active]] = op[step_active]
+        n_ops[step_active] += 1
+
+        eq = genome[lanes, np.minimum(jj, G - 1)] == read[lanes, np.minimum(ii, R - 1)]
+        matches += is_nw & eq
+        mismatches += is_nw & ~eq
+        deletions += is_n
+        insertions += is_w
+        read_start[is_nw | is_n] = i[is_nw | is_n]
+        genome_start[is_nw | is_w] = j[is_nw | is_w]
+        i[is_nw | is_n] -= 1
+        j[is_nw | is_w] -= 1
+
+        # next state from pointer
+        nxt = state.copy()
+        nxt[is_nw] = np.where(ptr[is_nw] == NW_FROM_NW, STATE_NW,
+                              np.where(ptr[is_nw] == NW_FROM_N, STATE_N,
+                                       STATE_W))
+        nxt[is_n] = np.where(ptr[is_n] == N_FROM_N, STATE_N, STATE_NW)
+        nxt[is_w] = np.where(ptr[is_w] == W_FROM_W, STATE_W, STATE_NW)
+        state = nxt
+        active = step_active & (i >= 0) & (j >= 0)
+
+    # ops were recorded newest-first; reverse each lane's prefix
+    for b in np.flatnonzero(n_ops):
+        ops[b, :n_ops[b]] = ops[b, :n_ops[b]][::-1]
+
+    return {
+        "read_start": read_start, "genome_start": genome_start,
+        "matches": matches, "mismatches": mismatches,
+        "insertions": insertions, "deletions": deletions,
+        "rmapped": matches + mismatches + deletions,
+        "gmapped": matches + mismatches + insertions,
+        "ops": ops, "ops_len": n_ops,
+    }
+
+
 def sw_full_with_traceback(genome: np.ndarray, read: np.ndarray,
                            revcmpl: np.ndarray,
                            params: SWParams = SWParams(),

@@ -3,12 +3,13 @@
 Replicates `gmapper/mapping.c:handle_read` (:1791-1868) and its stages for a
 whole batch of reads at once:
 
-  candidates (host)  →  pass1 vector-SW filter (device, batched)
-                     →  window-overlap suppression + top-k (host scan)
-                     →  pass2 full-SW + traceback (device DP, host walk)
-                     →  posterior/threshold/dedup/top-k  →  MQV  →  SAM
+  candidates (vectorized host)  →  pass1 vector-SW filter (device, batched)
+                                →  window-overlap suppression + top-k
+                                →  pass2 full-SW (device DP, vectorized
+                                   traceback)
+                                →  posterior/threshold/dedup/top-k → MQV → SAM
 
-Known equivalences vs the reference (documented, verified by golden tests):
+Known equivalences vs the reference (verified by golden byte-parity tests):
   * pass1 computes scores for windows the reference's overlap suppression
     would skip, then applies the identical suppression scan on the scores —
     same survivors, batched compute (mapping.c:1303-1311).
@@ -29,12 +30,29 @@ from shrimp_tpu.io import sam
 from shrimp_tpu.ops import sw_full, sw_vector
 from shrimp_tpu.ops.params import ScoreProbs
 from shrimp_tpu.pipeline import candidates as cand
+from shrimp_tpu.pipeline import candidates_batch as cb
 from shrimp_tpu.pipeline.options import (MapperConfig, ReadMappingOptions,
                                          abs_or_pct, is_absolute)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _bucket_rows(n: int, lo: int = 128) -> int:
+    """Round a batch row count up to a power of two (>= lo) so kernel shapes
+    stay stable across batches and XLA compiles once."""
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _pad_rows(arr: np.ndarray, rows: int, fill) -> np.ndarray:
+    if arr.shape[0] == rows:
+        return arr
+    pad_shape = (rows - arr.shape[0],) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, arr.dtype)])
 
 
 @dataclass
@@ -49,7 +67,15 @@ class FinalHit:
     sw_score: int
     pass2_key: int
     posterior: float
-    aln: sw_full.SWAlignment
+    read_start: int
+    genome_start: int           # window-relative
+    rmapped: int
+    gmapped: int
+    matches: int
+    mismatches: int
+    insertions: int
+    deletions: int
+    ops: np.ndarray
     mqv: int = 255
     z0: float = 0.0
     z1: float = 0.0
@@ -74,218 +100,275 @@ class Mapper:
                           if parts else np.zeros(0, np.int8))
         self.min_seed_span = index.seed_set.min_span
         self.stats = {"reads": 0, "reads_matched": 0, "reads_dropped": 0,
-                      "total_matches": 0}
+                      "total_matches": 0, "pass1_windows": 0,
+                      "pass2_windows": 0}
 
     # ------------------------------------------------------------------
-    def _gather_window(self, plane: np.ndarray, cn: int, g_off: int,
-                      w_len: int, out: np.ndarray) -> None:
-        lo = int(self.index.contig_offsets[cn]) + g_off
-        out[:w_len] = plane[lo:lo + w_len]
+    def _gather_windows(self, plane: np.ndarray, cn: np.ndarray,
+                        g_off: np.ndarray, w_len: np.ndarray,
+                        G: int) -> np.ndarray:
+        """Vectorized window extraction → int8 [N, G] padded with GENOME_PAD."""
+        lo = self.index.contig_offsets[cn] + g_off
+        cols = np.arange(G, dtype=np.int64)[None, :]
+        idxm = np.minimum(lo[:, None] + cols, len(plane) - 1)
+        out = plane[idxm]
+        mask = cols >= w_len[:, None]
+        out = np.where(mask, np.int8(sw_vector.GENOME_PAD), out)
+        return out.astype(np.int8)
 
     def map_batch(self, reads: list[tuple[str, str, str | None]],
                   options: list[ReadMappingOptions] | None = None
                   ) -> list[tuple[cand.ReadEntry, list[FinalHit]]]:
         """Map a batch of (name, seq, qual) reads; returns final hits per
-        read in output order."""
+        read in input order."""
         cfg = self.cfg
-        opt_sets = options or cfg.unpaired_options()
-        opts = opt_sets[0]
+        opts = (options or cfg.unpaired_options())[0]
 
         entries = [cand.prepare_read(nm, sq, ql, cfg, self.min_seed_span)
                    for nm, sq, ql in reads]
         self.stats["reads"] += len(entries)
+        ok = np.array([e.read_len <= cfg.longest_read_len
+                       and e.max_n_kmers > 0 for e in entries])
+        self.stats["reads_dropped"] += int((~ok).sum())
 
-        # ---------------- candidates ----------------
-        all_hits = []   # rows: (read_i, st, hit_local_order, HitList row)
-        per_read_hits: list[list] = [[] for _ in entries]
-        for ri, re in enumerate(entries):
-            if re.read_len > cfg.longest_read_len or re.max_n_kmers <= 0:
-                self.stats["reads_dropped"] += 1
-                continue
-            for st in (0, 1):
-                mapidxs = cand.read_mapidxs(re, self.index, st)
-                anchors = cand.build_anchor_list(
-                    re, self.index, st, mapidxs,
-                    collapse=opts.anchor_list.collapse,
-                    list_cutoff=self.index.list_cutoff)
-                hl = cand.build_hit_list(re, self.index, anchors,
-                                         opts.hit_list, cfg)
-                for k in range(hl.n):
-                    per_read_hits[ri].append({
-                        "st": st,
-                        "cn": int(hl.cn[k]),
-                        "g_off": int(hl.g_off[k]),
-                        "w_len": int(hl.w_len[k]),
-                        "score_window_gen": int(hl.score_window_gen[k]),
-                        "matches": int(hl.matches[k]),
-                        "score_max": min(re.read_len, int(hl.w_len[k]))
-                                     * cfg.params.match,
-                        "ax": int(hl.anchor_x[k]),
-                        "ay": int(hl.anchor_y[k]),
-                        "al": int(hl.anchor_length[k]),
-                        "aw": int(hl.anchor_width[k]),
-                    })
-
-        # ---------------- pass 1: batched vector SW ----------------
-        flat = []
-        for ri, hits in enumerate(per_read_hits):
-            for h in hits:
-                if h["matches"] >= opts.pass1.min_matches:
-                    flat.append((ri, h))
-        if flat:
-            G = _round_up(max(h["w_len"] for _, h in flat), 32)
-            R = _round_up(max(e.read_len for e in entries), 32)
-            gb = np.full((len(flat), G), sw_vector.GENOME_PAD, np.int8)
-            rb = np.full((len(flat), R), sw_vector.READ_PAD, np.int8)
-            for n, (ri, h) in enumerate(flat):
-                self._gather_window(self.index.genome, h["cn"], h["g_off"],
-                                    h["w_len"], gb[n])
-                rcodes = entries[ri].read[h["st"]]
-                rb[n, :len(rcodes)] = rcodes
-            scores = np.asarray(sw_vector.sw_score_batch(gb, rb, cfg.params))
-            for n, (ri, h) in enumerate(flat):
-                h["score_vector"] = int(scores[n])
-                h["pct_score_vector"] = (100000 * int(scores[n])
-                                         ) // h["score_max"]
-
-        # suppression scan + top-k per read (read_pass1_per_strand +
-        # read_get_vector_hits)
-        pass1_sel: list[list[dict]] = [[] for _ in entries]
-        for ri, re in enumerate(entries):
-            hits = [h for h in per_read_hits[ri] if "score_vector" in h]
-            for st in (0, 1):
-                last_good = None
-                for h in (x for x in hits if x["st"] == st):
-                    thresh = abs_or_pct(opts.pass1.threshold, h["score_max"])
-                    if (last_good is not None
-                            and h["cn"] == last_good["cn"]
-                            and h["g_off"] + abs_or_pct(
-                                opts.pass1.window_overlap, re.window_len)
-                            <= last_good["g_off"] + re.window_len):
-                        h["score_vector"] = 0
-                        h["pct_score_vector"] = 0
-                        continue
-                    if h["score_vector"] >= thresh:
-                        last_good = h
-            # select top num_outputs by pass1_key, earliest-first on ties
-            key = ("score_vector" if is_absolute(opts.pass1.threshold)
-                   else "pct_score_vector")
-            live = [h for h in hits
-                    if h["score_vector"]
-                    >= abs_or_pct(opts.pass1.threshold, h["score_max"])]
-            for h in live:
-                h["pass1_key"] = h[key]
-            live.sort(key=lambda h: -h["pass1_key"])   # stable
-            pass1_sel[ri] = live[:opts.pass1.num_outputs]
-
-        # ---------------- pass 2: batched full SW + traceback ----------------
-        flat2 = []
-        for ri, sel in enumerate(pass1_sel):
-            for h in sel:
-                flat2.append((ri, h))
+        live_entries = [e for e, o in zip(entries, ok) if o]
+        live_map = np.flatnonzero(ok)
         results: list[list[FinalHit]] = [[] for _ in entries]
-        if flat2:
-            G2 = _round_up(max(h["w_len"] for _, h in flat2), 32)
-            R2 = _round_up(max(entries[ri].read_len for ri, _ in flat2), 32)
-            gb = np.full((len(flat2), G2), sw_vector.GENOME_PAD, np.int8)
-            rb = np.full((len(flat2), R2), sw_vector.READ_PAD, np.int8)
-            rev = np.zeros(len(flat2), bool)
-            rect = np.zeros((len(flat2), 4), np.int64)  # x, y, len, width
-            glen_arr = np.zeros(len(flat2), np.int64)
-            for n, (ri, h) in enumerate(flat2):
-                re = entries[ri]
-                ax, ay, al, aw = h["ax"], h["ay"], h["al"], h["aw"]
-                # reverse_hit (mapping.c:272-281): align the forward read
-                # against the reverse-complemented genome for st=1 hits
-                if h["st"] == 1:
-                    clen = int(self.index.contig_len[h["cn"]])
-                    h["gen_st"] = 1
-                    h["g_off_rc"] = clen - h["g_off"] - h["w_len"]
-                    self._gather_window(self.genome_rc, h["cn"],
-                                        h["g_off_rc"], h["w_len"], gb[n])
-                    # anchor_reverse (anchors.h:30-35)
-                    ax2 = -ax + (h["w_len"] - 1) - (al - 1) - (aw - 1)
-                    ay2 = -ay + (re.read_len - 1) - (al - 1) + (aw - 1)
-                    ax, ay = ax2, ay2
-                else:
-                    h["gen_st"] = 0
-                    h["g_off_rc"] = h["g_off"]
-                    self._gather_window(self.index.genome, h["cn"],
-                                        h["g_off"], h["w_len"], gb[n])
-                rcodes = re.read[0]
-                rb[n, :len(rcodes)] = rcodes
-                rev[n] = bool(h["gen_st"]) and cfg.rev_tiebreak
-                # anchor_widen by anchor_width (full_sw, sw-full-ls.c:175-178)
-                ax -= cfg.anchor_width // 2
-                ay += cfg.anchor_width // 2
-                aw += cfg.anchor_width
-                rect[n] = (ax, ay, al, aw)
-                glen_arr[n] = h["w_len"]
-            band_xmin = band_xmax = None
-            if cfg.anchor_width >= 0:
-                band_xmin, band_xmax = sw_full.compute_band(
-                    rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3],
-                    glen_arr, R2)
-            alns = sw_full.sw_full_with_traceback(
-                gb, rb, rev, cfg.params,
-                local_alignment=not cfg.global_alignment,
-                band_xmin=band_xmin, band_xmax=band_xmax)
+        if live_entries:
+            hb = self._candidates(live_entries, opts)
+            if hb.n:
+                self.stats["pass1_windows"] += hb.n
+                sel = self._pass1(live_entries, hb, opts)
+                if sel is not None:
+                    self.stats["pass2_windows"] += len(sel["rid"])
+                    per_read = self._pass2(live_entries, sel, opts)
+                    for li, hits in per_read.items():
+                        results[live_map[li]] = hits
 
-            # per-read pass2 selection
-            by_read: dict[int, list[tuple[dict, sw_full.SWAlignment]]] = {}
-            for n, (ri, h) in enumerate(flat2):
-                by_read.setdefault(ri, []).append((h, alns[n]))
-            for ri, items in by_read.items():
-                results[ri] = self._pass2_select(entries[ri], items, opts)
-
-        for ri, re in enumerate(entries):
-            if results[ri]:
+        for hits in results:
+            if hits:
                 self.stats["reads_matched"] += 1
-                self.stats["total_matches"] += len(results[ri])
-
+                self.stats["total_matches"] += len(hits)
         return list(zip(entries, results))
 
     # ------------------------------------------------------------------
-    def _pass2_select(self, re: cand.ReadEntry,
-                      items: list[tuple[dict, sw_full.SWAlignment]],
-                      opts: ReadMappingOptions) -> list[FinalHit]:
-        """read_pass2 (mapping.c:1649-1763): threshold, dedup, sort, trim,
-        strata, max-alignments, MQV."""
-        cfg = self.cfg
-        finals: list[FinalHit] = []
-        for h, aln in items:
-            if aln.score <= 0:
-                continue
-            thresh = abs_or_pct(opts.pass2.threshold, h["score_max"])
-            posterior = mapq.ls_posterior(aln.score, aln.rmapped, self.probs)
-            ps = mapq.posterior_score(posterior, aln.rmapped, self.probs)
-            score_full = (ps if cfg.compute_mapping_qualities else aln.score)
-            if score_full < thresh:
-                continue
-            pct = (100000 * score_full) // h["score_max"]
-            key = (score_full if is_absolute(opts.pass2.threshold) else pct)
-            finals.append(FinalHit(
-                cn=h["cn"], gen_st=h["gen_st"], g_off=h["g_off_rc"],
-                w_len=h["w_len"], score_full=score_full, sw_score=aln.score,
-                pass2_key=key, posterior=posterior, aln=aln))
+    def _candidates(self, entries, opts) -> cb.HitBatch:
+        parts = []
+        for st in (0, 1):
+            ab = cb.anchors_batch(entries, self.index, st,
+                                  collapse=opts.anchor_list.collapse,
+                                  list_cutoff=self.index.list_cutoff)
+            parts.append(cb.hit_list_batch(entries, self.index, ab,
+                                           opts.hit_list, self.cfg))
+        h0, h1 = parts
+        merged = cb.HitBatch(**{
+            f: np.concatenate([getattr(h0, f), getattr(h1, f)])
+            for f in ("rid", "st", "cn", "g_off", "w_len",
+                      "score_window_gen", "matches", "score_max",
+                      "anchor_x", "anchor_y", "anchor_length",
+                      "anchor_width")})
+        return merged
 
-        # duplicate removal (read_remove_duplicate_hits, mapping.c:1538-1624):
-        # two passes — group by (cn, gen_st, genome START) keeping max
-        # pass2_key, then by (cn, gen_st, genome END) keeping max
+    # ------------------------------------------------------------------
+    def _reads_matrix(self, entries, rid, st, R) -> np.ndarray:
+        out = np.full((len(rid), R), sw_vector.READ_PAD, np.int8)
+        for n, (ri, s) in enumerate(zip(rid, st)):
+            codes = entries[ri].read[s]
+            out[n, :len(codes)] = codes
+        return out
+
+    def _pass1(self, entries, hb: cb.HitBatch, opts):
+        """Vector SW scores + overlap suppression + per-read top-k.
+
+        Returns dict of column arrays of the selected hits, or None."""
+        cfg = self.cfg
+        keep = hb.matches >= opts.pass1.min_matches
+        if not keep.any():
+            return None
+        idxs = np.flatnonzero(keep)
+        rid = hb.rid[idxs]
+        st = hb.st[idxs]
+
+        G = _round_up(max(1, int(hb.w_len[idxs].max())), 64)
+        R = _round_up(max(e.read_len for e in entries), 64)
+        NB = _bucket_rows(len(idxs))
+        gb = self._gather_windows(self.index.genome, hb.cn[idxs],
+                                  hb.g_off[idxs], hb.w_len[idxs], G)
+        rb = self._reads_matrix(entries, rid, st, R)
+        gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
+        rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
+        scores = np.asarray(sw_vector.sw_score_batch(gb, rb, cfg.params)
+                            )[:len(idxs)].astype(np.int64)
+        score_max = hb.score_max[idxs].astype(np.int64)
+        if opts.pass1.threshold >= 0:
+            thr = (score_max * (opts.pass1.threshold / 100.0))
+        else:
+            thr = np.full(len(idxs), -opts.pass1.threshold)
+
+        # window-overlap suppression scan per (read, strand), in hit order
+        # (read_pass1_per_strand, mapping.c:1303-1330)
+        wlen_cfg = np.array([e.window_len for e in entries], np.int64)
+        order_key = np.lexsort((np.arange(len(idxs)), st, rid))
+        suppressed = np.zeros(len(idxs), bool)
+        lg_ptr = -1
+        prev_rid = prev_st = None
+        for n in order_key:
+            r, s = rid[n], st[n]
+            if (r, s) != (prev_rid, prev_st):
+                lg_ptr = -1
+                prev_rid, prev_st = r, s
+            if lg_ptr >= 0 and hb.cn[idxs[n]] == hb.cn[idxs[lg_ptr]] \
+               and (hb.g_off[idxs[n]]
+                    + abs_or_pct(opts.pass1.window_overlap, wlen_cfg[r])
+                    <= hb.g_off[idxs[lg_ptr]] + wlen_cfg[r]):
+                suppressed[n] = True
+                continue
+            if scores[n] >= thr[n]:
+                lg_ptr = n
+
+        eff_scores = np.where(suppressed, 0, scores)
+        live = eff_scores >= thr
+        if not live.any():
+            return None
+        pct = (100000 * eff_scores) // np.maximum(score_max, 1)
+        key = eff_scores if is_absolute(opts.pass1.threshold) else pct
+
+        # per-read top-k (stable: earlier hits win ties —
+        # read_get_vector_hits heap semantics)
+        sel_rows = []
+        ln = np.flatnonzero(live)
+        order2 = np.lexsort((ln, -key[ln], rid[ln]))
+        sorted_rows = ln[order2]
+        count = {}
+        for n in sorted_rows:
+            r = int(rid[n])
+            c = count.get(r, 0)
+            if c < opts.pass1.num_outputs:
+                sel_rows.append(n)
+                count[r] = c + 1
+        sel_rows = np.array(sel_rows, dtype=np.int64)
+        src = idxs[sel_rows]
+        return {
+            "rid": rid[sel_rows], "st": st[sel_rows],
+            "cn": hb.cn[src], "g_off": hb.g_off[src],
+            "w_len": hb.w_len[src], "score_max": hb.score_max[src],
+            "anchor_x": hb.anchor_x[src], "anchor_y": hb.anchor_y[src],
+            "anchor_length": hb.anchor_length[src],
+            "anchor_width": hb.anchor_width[src],
+            "score_vector": eff_scores[sel_rows],
+        }
+
+    # ------------------------------------------------------------------
+    def _pass2(self, entries, sel, opts) -> dict[int, list[FinalHit]]:
+        cfg = self.cfg
+        N = len(sel["rid"])
+        rid = sel["rid"]
+        st = sel["st"]
+        cn = sel["cn"]
+        w_len = sel["w_len"].astype(np.int64)
+        clen = self.index.contig_len[cn]
+        rlen = np.array([entries[r].read_len for r in rid], np.int64)
+
+        # reverse_hit (mapping.c:272-281)
+        gen_st = st.astype(np.int64)
+        g_off = np.where(gen_st == 1, clen - sel["g_off"] - w_len,
+                         sel["g_off"]).astype(np.int64)
+        ax = sel["anchor_x"].astype(np.int64)
+        ay = sel["anchor_y"].astype(np.int64)
+        al = sel["anchor_length"].astype(np.int64)
+        aw = sel["anchor_width"].astype(np.int64)
+        rev_mask = gen_st == 1
+        ax = np.where(rev_mask, -ax + (w_len - 1) - (al - 1) - (aw - 1), ax)
+        ay = np.where(rev_mask, -ay + (rlen - 1) - (al - 1) + (aw - 1), ay)
+
+        G = _round_up(max(1, int(w_len.max())), 64)
+        R = _round_up(max(e.read_len for e in entries), 64)
+        NB = _bucket_rows(N)
+        gb_f = self._gather_windows(self.index.genome, cn, g_off, w_len, G)
+        gb_r = self._gather_windows(self.genome_rc, cn, g_off, w_len, G)
+        gb = np.where(rev_mask[:, None], gb_r, gb_f)
+        rb = self._reads_matrix(entries, rid, np.zeros(N, np.int8), R)
+        rev = rev_mask & cfg.rev_tiebreak
+
+        band_xmin = band_xmax = None
+        if cfg.anchor_width >= 0:
+            # anchor_widen (sw-full-ls.c:175-178)
+            bx = ax - cfg.anchor_width // 2
+            by = ay + cfg.anchor_width // 2
+            bw = aw + cfg.anchor_width
+            band_xmin, band_xmax = sw_full.compute_band(bx, by, al, bw,
+                                                        w_len, R)
+            band_xmin = _pad_rows(band_xmin, NB, 0)
+            band_xmax = _pad_rows(band_xmax, NB, 0)
+
+        gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
+        rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
+        rev = _pad_rows(rev, NB, False)
+
+        score_d, bi_d, bj_d, states_d, bits_d = sw_full.sw_full_batch(
+            gb, rb, rev, cfg.params,
+            local_alignment=not cfg.global_alignment,
+            band_xmin=band_xmin, band_xmax=band_xmax)
+        tb_d = sw_full.traceback_batch_jax(bits_d, bi_d, bj_d, states_d,
+                                           gb, rb, score_d)
+        score = np.asarray(score_d)[:N]
+        tb = {k: np.asarray(v)[:N] for k, v in tb_d.items()}
+
+        # --- selection per read (read_pass2) ---
+        out: dict[int, list[FinalHit]] = {}
+        score_max = sel["score_max"].astype(np.int64)
+        for li in np.unique(rid):
+            rows = np.flatnonzero(rid == li)
+            finals: list[FinalHit] = []
+            for n in rows:
+                s = int(score[n])
+                if s <= 0:
+                    continue
+                thresh = abs_or_pct(opts.pass2.threshold, score_max[n])
+                rmapped = int(tb["rmapped"][n])
+                posterior = mapq.ls_posterior(s, rmapped, self.probs)
+                ps = mapq.posterior_score(posterior, rmapped, self.probs)
+                score_full = ps if cfg.compute_mapping_qualities else s
+                if score_full < thresh:
+                    continue
+                pct = (100000 * score_full) // int(score_max[n])
+                key = (score_full if is_absolute(opts.pass2.threshold)
+                       else pct)
+                finals.append(FinalHit(
+                    cn=int(cn[n]), gen_st=int(gen_st[n]), g_off=int(g_off[n]),
+                    w_len=int(w_len[n]), score_full=score_full, sw_score=s,
+                    pass2_key=key, posterior=posterior,
+                    read_start=int(tb["read_start"][n]),
+                    genome_start=int(tb["genome_start"][n]),
+                    rmapped=rmapped, gmapped=int(tb["gmapped"][n]),
+                    matches=int(tb["matches"][n]),
+                    mismatches=int(tb["mismatches"][n]),
+                    insertions=int(tb["insertions"][n]),
+                    deletions=int(tb["deletions"][n]),
+                    ops=tb["ops"][n, :tb["ops_len"][n]].copy()))
+            kept = self._select_hits(finals, opts)
+            if kept:
+                out[int(li)] = kept
+        return out
+
+    # ------------------------------------------------------------------
+    def _select_hits(self, finals: list[FinalHit],
+                     opts: ReadMappingOptions) -> list[FinalHit]:
+        """Dedup, sort, trim, strata, max-alignments, MQV
+        (read_pass2, mapping.c:1690-1763)."""
+        cfg = self.cfg
+
         def gen_start_key(fh: FinalHit):
-            return (fh.cn, fh.gen_st, fh.g_off + fh.aln.genome_start)
+            return (fh.cn, fh.gen_st, fh.g_off + fh.genome_start)
 
         def gen_end_key(fh: FinalHit):
-            a = fh.aln
-            gstart = fh.g_off + a.genome_start
-            # deletions = read chars vs genome gap, insertions = genome chars
-            # vs read gap — same orientation as sw-full-ls.c:440-465
+            gstart = fh.g_off + fh.genome_start
             return (fh.cn, fh.gen_st,
-                    -gstart - a.rmapped + a.deletions - a.insertions)
+                    -gstart - fh.rmapped + fh.deletions - fh.insertions)
 
         def dedup_by(hits: list[FinalHit], keyf) -> list[FinalHit]:
             hits = sorted(hits, key=keyf)
-            out: list[FinalHit] = []
+            outl: list[FinalHit] = []
             i = 0
             while i < len(hits):
                 j = i
@@ -294,12 +377,11 @@ class Mapper:
                     if hits[j].pass2_key > hits[best].pass2_key:
                         best = j
                     j += 1
-                out.append(hits[best])
+                outl.append(hits[best])
                 i = j
-            return out
+            return outl
 
         dedup = dedup_by(dedup_by(finals, gen_start_key), gen_end_key)
-
         dedup.sort(key=lambda fh: -fh.pass2_key)
         dedup = dedup[:opts.pass2.num_outputs]
 
@@ -311,7 +393,8 @@ class Mapper:
             return []
 
         if cfg.compute_mapping_qualities and dedup:
-            mqvs, z1 = mapq.compute_unpaired_mqv([fh.posterior for fh in dedup])
+            mqvs, z1 = mapq.compute_unpaired_mqv(
+                [fh.posterior for fh in dedup])
             for fh, m in zip(dedup, mqvs):
                 fh.mqv = m
                 fh.z0 = fh.posterior
@@ -326,26 +409,26 @@ class Mapper:
         recs = []
         if not hits:
             if cfg.sam_unaligned:
-                recs.append(sam.unaligned_record(re.name, re.seq, re.qual))
+                recs.append(sam.unaligned_record(re.name, re.seq, re.qual,
+                                                 cfg.qual_delta))
             return recs
         sel = hits
         if cfg.single_best_mapping and cfg.compute_mapping_qualities:
             best = max(range(len(hits)), key=lambda i: hits[i].mqv)
             sel = [hits[best]]
         for fh in sel:
-            a = fh.aln
-            recs.append(sam.aligned_record(
+            recs.append(sam.aligned_record_from_ops(
                 name=re.name,
                 seq_text=re.seq,
                 qual=re.qual,
                 contig_name=self.index.contig_names[fh.cn],
                 contig_len=int(self.index.contig_len[fh.cn]),
-                genome_start0=fh.g_off + a.genome_start,
-                read_start0=a.read_start,
-                rmapped=a.rmapped, gmapped=a.gmapped,
-                insertions=a.insertions, deletions=a.deletions,
-                mismatches=a.mismatches,
-                qralign=a.qralign, dbalign=a.dbalign,
+                genome_start0=fh.g_off + fh.genome_start,
+                read_start0=fh.read_start,
+                rmapped=fh.rmapped, gmapped=fh.gmapped,
+                insertions=fh.insertions, deletions=fh.deletions,
+                mismatches=fh.mismatches,
+                ops=fh.ops,
                 reverse_strand=fh.gen_st == 1,
                 score_full=fh.score_full,
                 mapq_v=fh.mqv if cfg.compute_mapping_qualities else 255,
