@@ -406,7 +406,7 @@ def traceback_batch_jax(bits: jax.Array, bi: jax.Array, bj: jax.Array,
     read32 = read.astype(jnp.int32)
 
     def step(carry, _):
-        (i, j, st, active, rs, gs, mt, mm, ins, dl, nops, ops) = carry
+        (i, j, st, active, rs, gs, mt, mm, ins, dl, nops) = carry
         ii = jnp.maximum(i, 0).astype(jnp.int32)
         jj = jnp.maximum(j, 0).astype(jnp.int32)
         cell = bits[ii + jj, lanes, ii].astype(jnp.int32)
@@ -418,10 +418,10 @@ def traceback_batch_jax(bits: jax.Array, bi: jax.Array, bj: jax.Array,
         is_n = step_active & (st == STATE_N)
         is_w = step_active & (st == STATE_W)
 
+        # op emitted as a stacked scan output — a lane's walk occupies its
+        # first nops steps (active is monotone), so no scatter is needed
         op = jnp.where(is_n, OP_DEL, jnp.where(is_w, OP_INS, OP_MATCH)
                        ).astype(jnp.uint8)
-        slot = jnp.where(step_active, nops, max_steps)  # OOB drop when idle
-        ops = ops.at[lanes, slot].set(op, mode="drop")
         nops = nops + step_active
 
         eq = genome32[lanes, jnp.minimum(jj, G - 1)] == \
@@ -444,16 +444,16 @@ def traceback_batch_jax(bits: jax.Array, bi: jax.Array, bj: jax.Array,
                       jnp.where(ptr == W_FROM_W, STATE_W, STATE_NW)))
         st = jnp.where(step_active, nxt, st)
         active = step_active & (i >= 0) & (j >= 0)
-        return (i, j, st, active, rs, gs, mt, mm, ins, dl, nops, ops), None
+        return (i, j, st, active, rs, gs, mt, mm, ins, dl, nops), op
 
     zeros = jnp.zeros(B, jnp.int32)
     carry0 = (bi.astype(jnp.int32), bj.astype(jnp.int32), state, score > 0,
-              zeros, zeros, zeros, zeros, zeros, zeros, zeros,
-              jnp.zeros((B, max_steps), jnp.uint8))
-    (i, j, st, active, rs, gs, mt, mm, ins, dl, nops,
-     ops), _ = jax.lax.scan(step, carry0, None, length=max_steps)
+              zeros, zeros, zeros, zeros, zeros, zeros, zeros)
+    (i, j, st, active, rs, gs, mt, mm, ins, dl,
+     nops), ops_steps = jax.lax.scan(step, carry0, None, length=max_steps)
+    ops = ops_steps.T                       # [B, max_steps], newest-first
 
-    # ops were written newest-first; reverse each lane's prefix
+    # reverse each lane's prefix
     k = jnp.arange(max_steps)[None, :]
     src = jnp.clip(nops[:, None] - 1 - k, 0, max_steps - 1)
     ops_rev = jnp.take_along_axis(ops, src, axis=1)
@@ -466,6 +466,30 @@ def traceback_batch_jax(bits: jax.Array, bi: jax.Array, bj: jax.Array,
         "rmapped": mt + mm + dl, "gmapped": mt + mm + ins,
         "ops": ops_rev, "ops_len": nops,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("params", "local_alignment"))
+def sw_full_and_traceback_jax(genome: jax.Array, read: jax.Array,
+                              revcmpl: jax.Array,
+                              params: SWParams = SWParams(),
+                              local_alignment: bool = False,
+                              band_xmin: jax.Array | None = None,
+                              band_xmax: jax.Array | None = None):
+    """Fused DP + traceback in a single device dispatch.
+
+    Returns (stats int32 [B, 10], ops uint8 [B, R+G]) where stats columns are
+    (score, read_start, genome_start, matches, mismatches, insertions,
+    deletions, rmapped, gmapped, ops_len).  One dispatch + one transfer —
+    the packed-bits plane never leaves the device.
+    """
+    score, bi, bj, states, bits = sw_full_batch(
+        genome, read, revcmpl, params, local_alignment, band_xmin, band_xmax)
+    tb = traceback_batch_jax(bits, bi, bj, states, genome, read, score)
+    stats = jnp.stack([
+        score, tb["read_start"], tb["genome_start"], tb["matches"],
+        tb["mismatches"], tb["insertions"], tb["deletions"], tb["rmapped"],
+        tb["gmapped"], tb["ops_len"]], axis=1).astype(jnp.int32)
+    return stats, tb["ops"]
 
 
 def traceback_batch(bits: np.ndarray, bi: np.ndarray, bj: np.ndarray,

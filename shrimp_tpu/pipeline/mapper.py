@@ -305,14 +305,18 @@ class Mapper:
         rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
         rev = _pad_rows(rev, NB, False)
 
-        score_d, bi_d, bj_d, states_d, bits_d = sw_full.sw_full_batch(
+        stats_d, ops_d = sw_full.sw_full_and_traceback_jax(
             gb, rb, rev, cfg.params,
             local_alignment=not cfg.global_alignment,
             band_xmin=band_xmin, band_xmax=band_xmax)
-        tb_d = sw_full.traceback_batch_jax(bits_d, bi_d, bj_d, states_d,
-                                           gb, rb, score_d)
-        score = np.asarray(score_d)[:N]
-        tb = {k: np.asarray(v)[:N] for k, v in tb_d.items()}
+        stats = np.asarray(stats_d)[:N]
+        ops_all = np.asarray(ops_d)[:N]
+        score = stats[:, 0]
+        tb = {"read_start": stats[:, 1], "genome_start": stats[:, 2],
+              "matches": stats[:, 3], "mismatches": stats[:, 4],
+              "insertions": stats[:, 5], "deletions": stats[:, 6],
+              "rmapped": stats[:, 7], "gmapped": stats[:, 8],
+              "ops_len": stats[:, 9], "ops": ops_all}
 
         # --- selection per read (read_pass2) ---
         out: dict[int, list[FinalHit]] = {}
