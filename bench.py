@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 
-def make_data(genome_bp=2_000_000, n_reads=2000, read_len=50, seed=7):
+def make_data(genome_bp=2_000_000, n_reads=16384, read_len=50, seed=7):
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, size=genome_bp).astype(np.int8)
     reads = []
@@ -52,7 +52,7 @@ def main():
     # warmup (JIT compile) on a small slice
     mapper.map_batch(reads[:64])
 
-    batch = 512
+    batch = 8192
     t0 = time.time()
     n_done = 0
     n_matched = 0
