@@ -222,25 +222,36 @@ def hit_list_batch(entries: list[ReadEntry], idx: GenomeIndex,
     max_idx = np.arange(n, dtype=np.int64)
 
     if not options.gapless:
-        LB = cfg.hit_lookback
-        for k in range(1, LB + 1):
-            j = np.arange(n, dtype=np.int64) - k
-            jc = np.maximum(j, 0)
-            ok = ((j >= 0)
-                  & (an.rid[jc] == an.rid)
-                  & (an.x[jc] >= coff + gstart)
-                  & (an.y[jc] < an.y))
-            dx = an.x - an.x[jc]
-            dy = (an.y - an.y[jc]).astype(np.int64)
+        # per-anchor window floor: first anchor index with the same read and
+        # x >= coff + gstart (anchors are (rid, x)-sorted, so the reference's
+        # backward scan covers exactly [lo_idx, i-1])
+        BIGX = np.int64(1) << 40
+        keys = an.rid.astype(np.int64) * BIGX + an.x
+        targets = an.rid.astype(np.int64) * BIGX + (coff + gstart)
+        lo_idx = np.searchsorted(keys, targets, side="left")
+        rows = np.arange(n, dtype=np.int64)
+        active = rows - 1 >= lo_idx
+        k = 1
+        while active.any():
+            act = np.flatnonzero(active)
+            i_a = act
+            jc = act - k
+            ok = an.y[jc] < an.y[i_a]
+            dx = an.x[i_a] - an.x[jc]
+            dy = (an.y[i_a] - an.y[jc]).astype(np.int64)
             diag_del = dx - dy > 0        # deletion in read
-            short_len = np.where(diag_del, dy, dx) + an.length
-            long_len = np.where(diag_del, dx, dy) + an.length
+            li = an.length[i_a].astype(np.int64)
+            short_len = np.where(diag_del, dy, dx) + li
+            long_len = np.where(diag_del, dx, dy) + li
             tmp = short_len * match + np.where(
                 long_len > short_len,
                 p.b_gap_open + (long_len - short_len) * p.b_gap_extend, 0)
-            better = ok & (tmp > max_score)
-            max_score = np.where(better, tmp, max_score)
-            max_idx = np.where(better, jc, max_idx)
+            better = ok & (tmp > max_score[i_a])
+            upd = i_a[better]
+            max_score[upd] = tmp[better]
+            max_idx[upd] = jc[better]
+            k += 1
+            active[act] = act - k >= lo_idx[act]
 
     base = np.minimum(rlen, w_len) * match
     if options.threshold >= 0:

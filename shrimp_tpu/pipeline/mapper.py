@@ -321,8 +321,14 @@ class Mapper:
         # --- selection per read (read_pass2) ---
         out: dict[int, list[FinalHit]] = {}
         score_max = sel["score_max"].astype(np.int64)
-        for li in np.unique(rid):
-            rows = np.flatnonzero(rid == li)
+        grp_order = np.argsort(rid, kind="stable")
+        grp_bounds = np.searchsorted(rid[grp_order],
+                                     np.unique(rid))
+        uniq = np.unique(rid)
+        for gi, li in enumerate(uniq):
+            lo = grp_bounds[gi]
+            hi = grp_bounds[gi + 1] if gi + 1 < len(uniq) else len(rid)
+            rows = grp_order[lo:hi]
             finals: list[FinalHit] = []
             for n in rows:
                 s = int(score[n])
