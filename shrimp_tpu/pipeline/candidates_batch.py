@@ -102,9 +102,41 @@ def mapidx_batch(entries: list[ReadEntry], idx: GenomeIndex,
     return out
 
 
+REGION_BITS = 11        # DEF_REGION_BITS
+REGION_OVERLAP = 50     # DEF_REGION_OVERLAP
+
+
+def region_has2_filter(rid: np.ndarray, x: np.ndarray,
+                       region_bits: int = REGION_BITS,
+                       region_overlap: int = REGION_OVERLAP) -> np.ndarray:
+    """Region-count pruning (read_get_region_counts +
+    advance_index_in_genomemap, mapping.c:475-780).
+
+    The genome is cut into 2^region_bits-byte regions; a posting entry
+    "visits" its region, and also the previous region when it lies within
+    region_overlap of the region start.  Anchors whose region (or, near the
+    start, the previous region) was visited < 2 times by this read-strand are
+    discarded.  Returns a keep mask.
+    """
+    reg = x >> region_bits
+    off = x & ((1 << region_bits) - 1)
+    key = (rid.astype(np.int64) << 24) | reg   # region < 2^24 => genome < 32Gbp
+    ext = (off < region_overlap) & (reg > 0)
+    all_keys = np.concatenate([key, key[ext] - 1])
+    uniq, counts = np.unique(all_keys, return_counts=True)
+    has2 = uniq[counts >= 2]
+    in_has2 = np.searchsorted(has2, key)
+    ok_main = (in_has2 < len(has2)) & (has2[np.minimum(in_has2, len(has2) - 1)] == key)
+    in_prev = np.searchsorted(has2, key - 1)
+    ok_prev = ext & (in_prev < len(has2)) & \
+        (has2[np.minimum(in_prev, len(has2) - 1)] == key - 1)
+    return ok_main | ok_prev
+
+
 def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
                   collapse: bool = True,
-                  list_cutoff: int = 0xFFFFFFFF) -> AnchorBatch:
+                  list_cutoff: int = 0xFFFFFFFF,
+                  use_region_counts: bool = False) -> AnchorBatch:
     """Build the merged anchor lists for all reads on one strand."""
     mapidxs = mapidx_batch(entries, idx, st)
     B = len(entries)
@@ -151,6 +183,14 @@ def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
     x = np.concatenate(x_parts)
     y = np.concatenate(y_parts)
     ln = np.concatenate(ln_parts)
+
+    if use_region_counts and len(x):
+        keep = region_has2_filter(rid, x)
+        rid, x, y, ln = rid[keep], x[keep], y[keep], ln[keep]
+        if not len(x):
+            z = np.zeros(0, np.int64)
+            z32 = np.zeros(0, np.int32)
+            return AnchorBatch(z32, np.zeros(0, np.int8), z, z32, z32, z32, z32)
 
     order = np.lexsort((x, rid))
     rid, x, y, ln = rid[order], x[order], y[order], ln[order]

@@ -155,9 +155,11 @@ class Mapper:
     def _candidates(self, entries, opts) -> cb.HitBatch:
         parts = []
         for st in (0, 1):
-            ab = cb.anchors_batch(entries, self.index, st,
-                                  collapse=opts.anchor_list.collapse,
-                                  list_cutoff=self.index.list_cutoff)
+            ab = cb.anchors_batch(
+                entries, self.index, st,
+                collapse=opts.anchor_list.collapse,
+                list_cutoff=self.index.list_cutoff,
+                use_region_counts=opts.anchor_list.use_region_counts)
             parts.append(cb.hit_list_batch(entries, self.index, ab,
                                            opts.hit_list, self.cfg))
         h0, h1 = parts

@@ -34,7 +34,7 @@ class RegionOptions:
 class AnchorListOptions:
     recompute: bool = True
     collapse: bool = True
-    use_region_counts: bool = False   # region pruning (off until L6 tuning)
+    use_region_counts: bool = False   # set by option-set construction
     use_mp_region_counts: int = 0
 
 
@@ -109,12 +109,17 @@ class MapperConfig:
     max_anchors_per_strand: int = 4096
     hit_lookback: int = 64            # window-pairing lookback depth
 
+    use_regions: bool = True          # DEF_USE_REGIONS
+
     def unpaired_options(self) -> list[ReadMappingOptions]:
-        """Default single unpaired option set (gmapper.c:2601-2613)."""
+        """Default single unpaired option set (gmapper.c:2601-2632)."""
         opts = ReadMappingOptions()
+        opts.anchor_list.use_region_counts = (
+            self.match_mode_unpaired == 2 and self.use_regions)
         opts.hit_list.match_mode = self.match_mode_unpaired
         opts.hit_list.gapless = self.gapless
         opts.pass1.gapless = self.gapless
+        opts.pass1.min_matches = self.match_mode_unpaired
         opts.pass1.num_outputs = 3 * self.num_outputs
         opts.pass1.window_overlap = self.window_overlap
         opts.pass2.num_outputs = self.num_outputs
