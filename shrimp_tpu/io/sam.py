@@ -118,9 +118,12 @@ class SamRecord:
 
 def unaligned_record(name: str, seq: str, qual: str | None,
                      qual_delta: int = 33) -> SamRecord:
+    """Unmapped-read record.  NB: the reference prints the quality string RAW
+    (no +33 rescale) for unmapped records (hit_output, output.c:417-421) —
+    qual_delta is accepted for signature parity but unused."""
     rec = SamRecord(qname=name, flag=0x4, seq=clean_seq_text(seq))
     if qual is not None:
-        rec.qual = rescale_qual(qual, qual_delta)
+        rec.qual = qual
     return rec
 
 

@@ -125,6 +125,8 @@ def region_has2_filter(rid: np.ndarray, x: np.ndarray,
     all_keys = np.concatenate([key, key[ext] - 1])
     uniq, counts = np.unique(all_keys, return_counts=True)
     has2 = uniq[counts >= 2]
+    if len(has2) == 0:
+        return np.zeros(len(key), bool)
     in_has2 = np.searchsorted(has2, key)
     ok_main = (in_has2 < len(has2)) & (has2[np.minimum(in_has2, len(has2) - 1)] == key)
     in_prev = np.searchsorted(has2, key - 1)

@@ -79,6 +79,13 @@ class FinalHit:
     mqv: int = 255
     z0: float = 0.0
     z1: float = 0.0
+    # paired-mode extras (compute_paired_mqv, output.c:812-942)
+    score_max: int = 0
+    z2: float = 0.0
+    z3: float = 0.0
+    pr_top_random: float = 1.0
+    insert_size_denom: float = 0.0
+    pr_missed_mp: float = 0.0
 
 
 class Mapper:
@@ -221,7 +228,7 @@ class Mapper:
                 prev_rid, prev_st = r, s
             if lg_ptr >= 0 and hb.cn[idxs[n]] == hb.cn[idxs[lg_ptr]] \
                and (hb.g_off[idxs[n]]
-                    + abs_or_pct(opts.pass1.window_overlap, wlen_cfg[r])
+                    + int(abs_or_pct(opts.pass1.window_overlap, wlen_cfg[r]))
                     <= hb.g_off[idxs[lg_ptr]] + wlen_cfg[r]):
                 suppressed[n] = True
                 continue
@@ -235,19 +242,18 @@ class Mapper:
         pct = (100000 * eff_scores) // np.maximum(score_max, 1)
         key = eff_scores if is_absolute(opts.pass1.threshold) else pct
 
-        # per-read top-k (stable: earlier hits win ties —
-        # read_get_vector_hits heap semantics)
+        # per-read top-k via the reference's explicit min-heap — the heap
+        # ARRAY order feeds pass2 and breaks all downstream ties
+        # (read_get_vector_hits, mapping.c:1394-1432)
+        from shrimp_tpu.utils import extheap
         sel_rows = []
         ln = np.flatnonzero(live)
-        order2 = np.lexsort((ln, -key[ln], rid[ln]))
-        sorted_rows = ln[order2]
-        count = {}
-        for n in sorted_rows:
-            r = int(rid[n])
-            c = count.get(r, 0)
-            if c < opts.pass1.num_outputs:
-                sel_rows.append(n)
-                count[r] = c + 1
+        by_read: dict[int, list[int]] = {}
+        for n in ln:                      # stream order = hit-list order
+            by_read.setdefault(int(rid[n]), []).append(int(n))
+        for r in sorted(by_read):
+            sel_rows.extend(extheap.topk_select(
+                by_read[r], key, opts.pass1.num_outputs))
         sel_rows = np.array(sel_rows, dtype=np.int64)
         src = idxs[sel_rows]
         return {

@@ -1,0 +1,979 @@
+"""Paired-end mapping (L5) — handle_readpair, batched.
+
+Replicates `gmapper/mapping.c:handle_readpair` (:2468-2601) and its stages:
+mate-range computation (:2283-2412), hit pairing by insert interval
+(:285-340), paired vector-hit selection (:1895-1955), paired pass2 with
+per-foot full SW + pair threshold (:2174-2280), dominant-single-hit dedup
+(:2060-2170), the half-paired unpaired fallback rounds (:2572-2576), paired
+Bayesian mapping qualities (`gmapper/output.c:812-942`), and paired SAM
+emission (`readpair_output`, output.c:1071-1291).
+
+Pair modes and read normalization (gmapper-defaults.h:175-191): opp-out
+reverses both reads, col-fw the second, col-bw the first — after which the
+machinery treats every mode like opposing-strands-inwards with mode-specific
+delta windows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from shrimp_tpu import mapq
+from shrimp_tpu.io import sam
+from shrimp_tpu.ops import sw_full, sw_vector
+from shrimp_tpu.pipeline import candidates as cand
+from shrimp_tpu.pipeline import candidates_batch as cb
+from shrimp_tpu.pipeline.mapper import (FinalHit, Mapper, _bucket_rows,
+                                        _pad_rows, _round_up)
+from shrimp_tpu.pipeline.options import (MapperConfig, abs_or_pct,
+                                         is_absolute)
+
+PAIR_NONE = 0
+PAIR_OPP_IN = 1
+PAIR_OPP_OUT = 2
+PAIR_COL_FW = 3
+PAIR_COL_BW = 4
+
+PAIR_MODE_NAMES = ["none", "opp-in", "opp-out", "col-fw", "col-bw"]
+
+# which feet get reverse-complemented on input (DEF_PAIR_REVERSE)
+PAIR_REVERSE = [(0, 0), (0, 0), (1, 1), (0, 1), (1, 0)]
+
+
+@dataclass
+class PairedConfig:
+    pair_mode: int = PAIR_OPP_IN
+    min_insert_size: int = 0          # DEF_MIN_INSERT_SIZE
+    max_insert_size: int = 1000       # DEF_MAX_INSERT_SIZE
+    insert_size_mean: float = 200.0   # DEF_INSERT_SIZE_MEAN
+    insert_size_stddev: float = 100.0
+    match_mode: int = 4               # DEF_MATCH_MODE_PAIRED
+
+
+@dataclass
+class PairResult:
+    """Final output for one read pair."""
+
+    re: list                       # [ReadEntry, ReadEntry]
+    paired_hits: list = field(default_factory=list)   # [(FinalHit, FinalHit, insert_size)]
+    unpaired_hits: list = field(default_factory=list) # [(nip, FinalHit)]
+
+
+def compute_mp_deltas(pair_mode: int, rlen1: int, wlen1: int,
+                      rlen2: int, wlen2: int,
+                      min_ins: int, max_ins: int):
+    """delta_g_off ranges (readpair_compute_mp_ranges, mapping.c:2283-2412).
+
+    Returns (d1, d2) where d[st] = (min, max) allowed re2.g_off - re1.g_off
+    when re1's hit is on strand st (and the mate on 1-st).
+    """
+    d1 = {}
+    if pair_mode == PAIR_OPP_IN:
+        d1[0] = (min_ins - wlen2,
+                 max_ins + (wlen1 - rlen1) - rlen2)
+        d1[1] = (-max_ins + rlen1 + (rlen2 - wlen2),
+                 -min_ins + wlen1)
+    elif pair_mode == PAIR_OPP_OUT:
+        base0 = (min_ins - wlen2, max_ins + (wlen1 - rlen1) - rlen2)
+        d1[0] = (base0[0] + rlen1 + rlen2, base0[1] + rlen1 + rlen2)
+        base1 = (-max_ins + rlen1 + (rlen2 - wlen2), -min_ins + wlen1)
+        d1[1] = (base1[0] - rlen1 - rlen2, base1[1] - rlen1 - rlen2)
+    elif pair_mode == PAIR_COL_FW:
+        base0 = (min_ins - wlen2, max_ins + (wlen1 - rlen1) - rlen2)
+        d1[0] = (base0[0] + rlen2, base0[1] + rlen2)
+        base1 = (-max_ins + rlen1 + (rlen2 - wlen2), -min_ins + wlen1)
+        d1[1] = (base1[0] - rlen2, base1[1] - rlen2)
+    elif pair_mode == PAIR_COL_BW:
+        base0 = (min_ins - wlen2, max_ins + (wlen1 - rlen1) - rlen2)
+        d1[0] = (base0[0] + rlen1, base0[1] + rlen1)
+        base1 = (-max_ins + rlen1 + (rlen2 - wlen2), -min_ins + wlen1)
+        d1[1] = (base1[0] - rlen1, base1[1] - rlen1)
+    else:
+        raise ValueError(f"bad pair mode {pair_mode}")
+
+    d2 = {}
+    if pair_mode in (PAIR_OPP_IN, PAIR_OPP_OUT):
+        d2[0] = (-d1[1][1], -d1[1][0])
+        d2[1] = (-d1[0][1], -d1[0][0])
+    else:  # colinear modes swap differently (mapping.c:2348-2352,2378-2382)
+        d2[0] = (-d1[0][1], -d1[0][0])
+        d2[1] = (-d1[1][1], -d1[1][0])
+    return d1, d2
+
+
+def get_insert_size(fh1: FinalHit, fh2: FinalHit, contig_len1: int,
+                    contig_len2: int, cn_equal: bool) -> int:
+    """5'-to-5' insert size (get_insert_size, mapping.c:421-474)."""
+    if not cn_equal:
+        return 0
+
+    def fivep(fh: FinalHit, contig_len: int) -> int:
+        read_start = fh.read_start + 1
+        read_end = read_start + fh.rmapped - 1
+        if fh.gen_st == 0:
+            gstart = fh.g_off + fh.genome_start + 1
+        else:
+            right_most = contig_len - (fh.g_off + fh.genome_start)
+            gstart = right_most - (read_end - read_start
+                                   - fh.deletions + fh.insertions)
+        gend = gstart + fh.gmapped - 1
+        return gend if fh.gen_st == 1 else gstart - 1
+
+    return fivep(fh2, contig_len2) - fivep(fh1, contig_len1)
+
+
+class PairedMapper(Mapper):
+    """Paired-end mapper; delegates per-stage machinery to Mapper."""
+
+    def __init__(self, index, cfg: MapperConfig | None = None,
+                 pcfg: PairedConfig | None = None):
+        super().__init__(index, cfg)
+        self.pcfg = pcfg or PairedConfig()
+
+    # ------------------------------------------------------------------
+    def map_pair_batch(self, pairs) -> list[PairResult]:
+        """Map a batch of read pairs.
+
+        pairs: list of ((name, seq, qual), (name, seq, qual)).
+        """
+        cfg = self.cfg
+        pcfg = self.pcfg
+        rev1, rev2 = PAIR_REVERSE[pcfg.pair_mode]
+
+        entries1, entries2 = [], []
+        for (n1, s1, q1), (n2, s2, q2) in pairs:
+            e1 = cand.prepare_read(n1, s1, q1, cfg, self.min_seed_span)
+            e2 = cand.prepare_read(n2, s2, q2, cfg, self.min_seed_span)
+            if rev1:
+                e1.read = [e1.read[1], e1.read[0]]
+            if rev2:
+                e2.read = [e2.read[1], e2.read[0]]
+            entries1.append(e1)
+            entries2.append(e2)
+        input_strand1 = 1 if rev1 else 0
+        input_strand2 = 1 if rev2 else 0
+
+        P = len(pairs)
+        results = [PairResult(re=[entries1[i], entries2[i]])
+                   for i in range(P)]
+
+        popts = self._paired_options()
+        ropts = popts["read"]
+
+        # ---- candidates for all 4 (side, strand) streams ----
+        hits = {}
+        for side, entries in ((0, entries1), (1, entries2)):
+            per = []
+            for st in (0, 1):
+                ab = cb.anchors_batch(
+                    entries, self.index, st,
+                    collapse=True,
+                    list_cutoff=self.index.list_cutoff,
+                    use_region_counts=ropts["use_region_counts"])
+                per.append(cb.hit_list_batch(entries, self.index, ab,
+                                             ropts["hit_list"], cfg))
+            h0, h1 = per
+            hits[side] = cb.HitBatch(**{
+                f: np.concatenate([getattr(h0, f), getattr(h1, f)])
+                for f in ("rid", "st", "cn", "g_off", "w_len",
+                          "score_window_gen", "matches", "score_max",
+                          "anchor_x", "anchor_y", "anchor_length",
+                          "anchor_width")})
+
+        # ---- pair up hits (readpair_pair_up_hits) ----
+        pair_rows = self._pair_up(entries1, entries2, hits, pcfg)
+
+        # ---- pass1 vector scores for hits participating in pairs ----
+        sv = {}
+        sv_true = {}
+        for side, entries, istrand in ((0, entries1, input_strand1),
+                                       (1, entries2, input_strand2)):
+            sv[side], sv_true[side] = self._paired_pass1(
+                entries, hits[side], pair_rows[f"in_pair_{side}"], ropts)
+
+        # ---- paired vector-hit selection (readpair_get_vector_hits) ----
+        sel_pairs = self._select_vector_pairs(hits, sv, pair_rows, popts)
+
+        # ---- paired pass2 ----
+        paired_final, saved_hits = self._paired_pass2(
+            entries1, entries2, input_strand1, input_strand2,
+            hits, sv_true, sel_pairs, popts)
+
+        # ---- half-paired unpaired rounds ----
+        unpaired_final = {0: {}, 1: {}}
+        if cfg.half_paired:
+            for side, entries, istrand in ((0, entries1, input_strand1),
+                                           (1, entries2, input_strand2)):
+                unpaired_final[side] = self._halfpaired_unpaired(
+                    entries, istrand, hits[side], sv[side],
+                    saved_hits[side], ropts)
+
+        # ---- assemble + MQV + package ----
+        for pi in range(P):
+            pr = results[pi]
+            pr.paired_hits = paired_final.get(pi, [])
+            for side in (0, 1):
+                for fh in unpaired_final[side].get(pi, []):
+                    pr.unpaired_hits.append((side, fh))
+            if cfg.compute_mapping_qualities:
+                self._paired_mqv(pr)
+        return results
+
+    # ------------------------------------------------------------------
+    def _paired_options(self):
+        """Default paired option set (gmapper.c:2634-2716)."""
+        cfg = self.cfg
+        mm = self.pcfg.match_mode
+        sw_vect_threshold = 47.0 if cfg.colour_space else 50.0
+        sw_full_threshold = 50.0
+        hl = __import__("shrimp_tpu.pipeline.options",
+                        fromlist=["HitListOptions"]).HitListOptions(
+            gapless=cfg.gapless,
+            match_mode=(2 if mm == 4 else 3 if mm == 3 else 1),
+            threshold=55.0)
+        return {
+            "pairing": {
+                "pass1_threshold": sw_vect_threshold,
+                "pass2_threshold": sw_full_threshold,
+                "pass1_num_outputs": 3 * cfg.num_outputs,
+                "pass2_num_outputs": cfg.num_outputs,
+                "strata": cfg.strata,
+            },
+            "read": {
+                "use_region_counts": cfg.use_regions and mm != 2,
+                "hit_list": hl,
+                "pass1_threshold": sw_vect_threshold,
+                "pass1_min_matches": 2 if mm == 4 else 1,
+                "pass2_threshold": sw_full_threshold * 0.5,
+                "window_overlap": cfg.window_overlap,
+            },
+        }
+
+    # ------------------------------------------------------------------
+    def _pair_up(self, entries1, entries2, hits, pcfg):
+        """Vectorized readpair_pair_up_hits: for each re1 hit on strand st,
+        the mate candidates are re2 hits on strand 1-st within
+        [g_off + dmin, g_off + dmax], same contig."""
+        h0, h1 = hits[0], hits[1]
+        n0 = h0.n
+        pair_min = np.full(n0, -1, np.int64)
+        pair_max = np.full(n0, -1, np.int64)
+        in_pair_1 = np.zeros(h1.n, bool)
+
+        # per-pair deltas
+        P = len(entries1)
+        dmin = np.zeros((P, 2), np.int64)
+        dmax = np.zeros((P, 2), np.int64)
+        for pi in range(P):
+            d1, _ = compute_mp_deltas(
+                pcfg.pair_mode,
+                entries1[pi].read_len, entries1[pi].window_len,
+                entries2[pi].read_len, entries2[pi].window_len,
+                pcfg.min_insert_size, pcfg.max_insert_size)
+            dmin[pi, 0], dmax[pi, 0] = d1[0]
+            dmin[pi, 1], dmax[pi, 1] = d1[1]
+
+        # sort h1 into (rid, st, cn, g_off) order and pack a comparable
+        # int64 key: rid*2+st (<= 2^21) | cn (<= 2^10) | g_off+1 (<= 2^32)
+        # (g_off offset by +1 keeps the key monotone for g_off == -1 bounds)
+        if self.index.num_contigs > 1024:
+            raise NotImplementedError("pair-up packing caps at 1024 contigs")
+        order1 = np.lexsort((h1.g_off, h1.cn, h1.st, h1.rid))
+
+        def pack(rid, st, cn, goff):
+            return (((rid.astype(np.int64) * 2 + st) << 42)
+                    | (cn.astype(np.int64) << 32)
+                    | (np.clip(goff + 1, 0, (1 << 32) - 1)))
+
+        skey = pack(h1.rid[order1], h1.st[order1].astype(np.int64),
+                    h1.cn[order1], h1.g_off[order1].astype(np.int64))
+
+        r0 = h0.rid.astype(np.int64)
+        st0 = h0.st.astype(np.int64)
+        mate_st = 1 - st0
+        lo_t = pack(r0, mate_st, h0.cn, h0.g_off + dmin[r0, st0])
+        hi_t = pack(r0, mate_st, h0.cn, h0.g_off + dmax[r0, st0])
+        lo = np.searchsorted(skey, lo_t, side="left")
+        hi = np.searchsorted(skey, hi_t, side="right")
+        has = hi > lo
+        pair_min = np.where(has, lo, -1)
+        pair_max = np.where(has, hi - 1, -1)
+        # mark mate rows that participate (range-union via diff array)
+        if has.any():
+            marks = np.zeros(h1.n + 1, np.int64)
+            np.add.at(marks, pair_min[has], 1)
+            np.add.at(marks, pair_max[has] + 1, -1)
+            in_pair_1[order1] = np.cumsum(marks[:-1]) > 0
+
+        return {
+            "pair_min": pair_min, "pair_max": pair_max,
+            "order1": order1,
+            "in_pair_0": has,
+            "in_pair_1": in_pair_1,
+        }
+
+    # ------------------------------------------------------------------
+    def _paired_pass1(self, entries, hb, in_pair, ropts):
+        """Vector SW scores + suppression for hits participating in pairs
+        (read_pass1 with only_paired=true).
+
+        Returns (eff_scores, true_scores): eff has suppressed windows zeroed
+        (drives pair keys); true is the raw vector score (pass2 re-runs the
+        vector kernel per foot, so suppression does not gate full SW —
+        hit_run_full_sw, mapping.c:400-415)."""
+        cfg = self.cfg
+        scores = np.full(hb.n, -1, np.int64)
+        true_scores = np.full(hb.n, -1, np.int64)
+        keep = in_pair & (hb.matches >= ropts["pass1_min_matches"])
+        idxs = np.flatnonzero(keep)
+        if not len(idxs):
+            return scores, true_scores
+        G = _round_up(max(1, int(hb.w_len[idxs].max())), 64)
+        R = _round_up(max(e.read_len for e in entries), 64)
+        NB = _bucket_rows(len(idxs))
+        gb = self._gather_windows(self.index.genome, hb.cn[idxs],
+                                  hb.g_off[idxs], hb.w_len[idxs], G)
+        rb = self._reads_matrix(entries, hb.rid[idxs], hb.st[idxs], R)
+        gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
+        rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
+        sc = np.asarray(sw_vector.sw_score_batch(gb, rb, cfg.params)
+                        )[:len(idxs)].astype(np.int64)
+
+        # suppression scan per (rid, st) over participating hits in order
+        score_max = hb.score_max[idxs].astype(np.int64)
+        thr = (score_max * (ropts["pass1_threshold"] / 100.0)
+               if ropts["pass1_threshold"] >= 0
+               else np.full(len(idxs), -ropts["pass1_threshold"]))
+        wlen_cfg = np.array([e.window_len for e in entries], np.int64)
+        order = np.lexsort((np.arange(len(idxs)), hb.st[idxs], hb.rid[idxs]))
+        lg = -1
+        prev = None
+        eff = sc.copy()
+        for n in order:
+            r, s = hb.rid[idxs[n]], hb.st[idxs[n]]
+            if (r, s) != prev:
+                lg = -1
+                prev = (r, s)
+            if lg >= 0 and hb.cn[idxs[n]] == hb.cn[idxs[lg]] \
+               and (hb.g_off[idxs[n]]
+                    + int(abs_or_pct(ropts["window_overlap"], wlen_cfg[r]))
+                    <= hb.g_off[idxs[lg]] + wlen_cfg[r]):
+                eff[n] = 0
+                continue
+            if sc[n] >= thr[n]:
+                lg = n
+        scores[idxs] = eff
+        true_scores[idxs] = sc
+        return scores, true_scores
+
+    # ------------------------------------------------------------------
+    def _select_vector_pairs(self, hits, sv, pair_rows, popts):
+        """readpair_get_vector_hits: enumerate candidate pairs, threshold on
+        summed vector score, keep top pass1_num_outputs per read pair."""
+        h0, h1 = hits[0], hits[1]
+        pm, px = pair_rows["pair_min"], pair_rows["pair_max"]
+        order1 = pair_rows["order1"]
+        rows0 = np.flatnonzero((pm >= 0) & (sv[0] >= 0))
+        if not len(rows0):
+            return {}
+        counts = (px[rows0] - pm[rows0] + 1)
+        total = int(counts.sum())
+        starts = np.zeros(len(rows0) + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        i0 = np.repeat(rows0, counts)
+        within = np.arange(total) - np.repeat(starts[:-1], counts)
+        j1 = order1[np.repeat(pm[rows0], counts) + within]
+
+        s0 = sv[0][i0]
+        s1 = sv[1][j1]
+        ok = (s0 >= 0) & (s1 >= 0)
+        i0, j1 = i0[ok], j1[ok]
+        s0, s1 = s0[ok], s1[ok]
+        score = s0 + s1
+        smax = h0.score_max[i0].astype(np.int64) + \
+            h1.score_max[j1].astype(np.int64)
+        pct = (100000 * score) // smax
+        thr_pct = popts["pairing"]["pass1_threshold"]
+        thr = (smax * (thr_pct / 100.0) if thr_pct >= 0
+               else np.full(len(i0), -thr_pct))
+        live = score >= thr
+        i0, j1 = i0[live], j1[live]
+        score, smax, pct = score[live], smax[live], pct[live]
+        key = score if is_absolute(thr_pct) else pct
+
+        rid = h0.rid[i0]
+        K = popts["pairing"]["pass1_num_outputs"]
+        # reference min-heap selection; heap ARRAY order drives pass2 and
+        # downstream tie-breaks (readpair_get_vector_hits + extheap)
+        from shrimp_tpu.utils import extheap
+        by_read: dict[int, list[int]] = {}
+        for n in range(len(i0)):          # stream order preserved
+            by_read.setdefault(int(rid[n]), []).append(n)
+        out = {}
+        for r in sorted(by_read):
+            chosen = extheap.topk_select(by_read[r], key, K)
+            out[r] = [(int(i0[n]), int(j1[n]), int(key[n])) for n in chosen]
+        return out
+
+    # ------------------------------------------------------------------
+    def _run_full_sw(self, entries, istrand, hb, rows, pass2_threshold):
+        """Batched hit_run_full_sw for the given hit rows of one side.
+
+        Returns dict row -> (FinalHit | None).  A row yields None when its
+        vector score misses the per-foot threshold (score_full == 0)."""
+        cfg = self.cfg
+        N = len(rows)
+        if N == 0:
+            return {}
+        rows = np.asarray(rows)
+        cn = hb.cn[rows]
+        st = hb.st[rows].astype(np.int64)
+        w_len = hb.w_len[rows].astype(np.int64)
+        clen = self.index.contig_len[cn]
+        rlen = np.array([entries[r].read_len for r in hb.rid[rows]], np.int64)
+
+        gen_st = np.where(st != istrand, 1, 0)
+        g_off = np.where(gen_st == 1, clen - hb.g_off[rows] - w_len,
+                         hb.g_off[rows]).astype(np.int64)
+        ax = hb.anchor_x[rows].astype(np.int64)
+        ay = hb.anchor_y[rows].astype(np.int64)
+        al = hb.anchor_length[rows].astype(np.int64)
+        aw = hb.anchor_width[rows].astype(np.int64)
+        rev_mask = gen_st == 1
+        ax = np.where(rev_mask, -ax + (w_len - 1) - (al - 1) - (aw - 1), ax)
+        ay = np.where(rev_mask, -ay + (rlen - 1) - (al - 1) + (aw - 1), ay)
+
+        G = _round_up(max(1, int(w_len.max())), 64)
+        R = _round_up(max(e.read_len for e in entries), 64)
+        NB = _bucket_rows(N)
+        gb_f = self._gather_windows(self.index.genome, cn, g_off, w_len, G)
+        gb_r = self._gather_windows(self.genome_rc, cn, g_off, w_len, G)
+        gb = np.where(rev_mask[:, None], gb_r, gb_f)
+        rb = self._reads_matrix(entries, hb.rid[rows],
+                                np.full(N, istrand, np.int8), R)
+        rev = rev_mask & cfg.rev_tiebreak
+
+        band_xmin = band_xmax = None
+        if cfg.anchor_width >= 0:
+            bx = ax - cfg.anchor_width // 2
+            by = ay + cfg.anchor_width // 2
+            bw = aw + cfg.anchor_width
+            band_xmin, band_xmax = sw_full.compute_band(bx, by, al, bw,
+                                                        w_len, R)
+            band_xmin = _pad_rows(band_xmin, NB, 0)
+            band_xmax = _pad_rows(band_xmax, NB, 0)
+        gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
+        rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
+        rev = _pad_rows(rev, NB, False)
+
+        stats_d, ops_d = sw_full.sw_full_and_traceback_jax(
+            gb, rb, rev, cfg.params,
+            local_alignment=not cfg.global_alignment,
+            band_xmin=band_xmin, band_xmax=band_xmax)
+        stats = np.asarray(stats_d)[:N]
+        ops_all = np.asarray(ops_d)[:N]
+
+        out = {}
+        score_max = hb.score_max[rows].astype(np.int64)
+        for k in range(N):
+            row = int(rows[k])
+            s = int(stats[k, 0])
+            thresh = abs_or_pct(pass2_threshold, score_max[k])
+            # per-foot gate: vector score must reach the foot threshold for
+            # the full SW to count (hit_run_full_sw, mapping.c:400-415)
+            if s <= 0:
+                out[row] = None
+                continue
+            rmapped = int(stats[k, 7])
+            posterior = mapq.ls_posterior(s, rmapped, self.probs)
+            ps = mapq.posterior_score(posterior, rmapped, self.probs)
+            score_full = ps if cfg.compute_mapping_qualities else s
+            fh = FinalHit(
+                cn=int(cn[k]), gen_st=int(gen_st[k]), g_off=int(g_off[k]),
+                w_len=int(w_len[k]), score_full=score_full, sw_score=s,
+                pass2_key=0, posterior=posterior,
+                read_start=int(stats[k, 1]), genome_start=int(stats[k, 2]),
+                rmapped=rmapped, gmapped=int(stats[k, 8]),
+                matches=int(stats[k, 3]), mismatches=int(stats[k, 4]),
+                insertions=int(stats[k, 5]), deletions=int(stats[k, 6]),
+                ops=ops_all[k, :stats[k, 9]].copy())
+            fh.score_max = int(score_max[k])
+            out[row] = fh
+        return out
+
+    # ------------------------------------------------------------------
+    def _paired_pass2(self, entries1, entries2, istrand1, istrand2,
+                      hits, sv, sel_pairs, popts):
+        """readpair_pass2 + dedup + final selection."""
+        cfg = self.cfg
+        pcfg = self.pcfg
+        # unique feet needing full SW, per side, gated by foot vector thresh
+        foot_thr = popts["read"]["pass2_threshold"]
+        need = {0: set(), 1: set()}
+        for r, lst in sel_pairs.items():
+            for i0, j1, _ in lst:
+                need[0].add(i0)
+                need[1].add(j1)
+        # foot-level vector gate: score_vector >= 25% of score_max
+        feet = {}
+        for side, entries, istrand in ((0, entries1, istrand1),
+                                       (1, entries2, istrand2)):
+            hb = hits[side]
+            rows = sorted(need[side])
+            gated = [row for row in rows
+                     if sv[side][row] >= abs_or_pct(
+                         foot_thr, int(hb.score_max[row]))]
+            res = self._run_full_sw(entries, istrand, hb, gated, foot_thr)
+            feet[side] = {row: res.get(row) for row in rows}
+
+        paired_final = {}
+        saved = {0: set(), 1: set()}
+        pair_thr = popts["pairing"]["pass2_threshold"]
+        for r, lst in sel_pairs.items():
+            cand_pairs = []
+            for i0, j1, _ in lst:
+                fh0 = feet[0].get(i0)
+                fh1 = feet[1].get(j1)
+                if fh0 is None or fh1 is None:
+                    continue
+                if fh0.score_full == 0 or fh1.score_full == 0:
+                    continue
+                smax = fh0.score_max + fh1.score_max
+                total = fh0.score_full + fh1.score_full
+                if total < int(abs_or_pct(pair_thr, smax)):
+                    continue
+                pct = (100000 * total) // smax
+                key = total if is_absolute(pair_thr) else pct
+                cand_pairs.append([i0, j1, fh0, fh1, key])
+
+            cand_pairs = self._dedup_pairs(cand_pairs)
+            cand_pairs.sort(key=lambda t: -t[4])
+            cand_pairs = cand_pairs[:popts["pairing"]["pass2_num_outputs"]]
+            if popts["pairing"]["strata"] and cand_pairs:
+                top = cand_pairs[0][2].score_full + cand_pairs[0][3].score_full
+                cand_pairs = [t for t in cand_pairs
+                              if t[2].score_full + t[3].score_full == top]
+            if cand_pairs and cfg.max_alignments \
+               and len(cand_pairs) > cfg.max_alignments:
+                cand_pairs = []
+
+            if cand_pairs:
+                out = []
+                for i0, j1, fh0, fh1, key in cand_pairs:
+                    saved[0].add(i0)
+                    saved[1].add(j1)
+                    cn_eq = fh0.cn == fh1.cn
+                    isz = get_insert_size(
+                        fh0, fh1,
+                        int(self.index.contig_len[fh0.cn]),
+                        int(self.index.contig_len[fh1.cn]), cn_eq)
+                    # signed insert (readpair_compute_paired_hit,
+                    # mapping.c:2014-2034)
+                    if pcfg.pair_mode in (PAIR_OPP_IN, PAIR_COL_FW):
+                        sign = 1 if fh0.gen_st == 0 else -1
+                    else:
+                        sign = 1 if fh0.gen_st == 1 else -1
+                    out.append((fh0, fh1, sign * isz))
+                paired_final[r] = out
+        return paired_final, saved
+
+    # ------------------------------------------------------------------
+    def _dedup_pairs(self, cand_pairs):
+        """readpair_remove_duplicate_hits: 4 dominant-single passes then
+        identity dedup (mapping.c:2060-2170)."""
+        if not cand_pairs:
+            return cand_pairs
+
+        def push_dominant(pairs, foot, keyf):
+            pairs = sorted(pairs, key=lambda t: keyf(t[2 + foot]))
+            i = 0
+            while i < len(pairs):
+                j = i
+                best = i
+                while j < len(pairs) and \
+                        keyf(pairs[j][2 + foot]) == keyf(pairs[i][2 + foot]):
+                    if pairs[j][2 + foot].score_full > \
+                            pairs[best][2 + foot].score_full:
+                        best = j
+                    j += 1
+                for k in range(i, j):
+                    if k != best:
+                        pairs[k][foot] = pairs[best][foot]
+                        pairs[k][2 + foot] = pairs[best][2 + foot]
+                        f0, f1 = pairs[k][2], pairs[k][3]
+                        smax = f0.score_max + f1.score_max
+                        total = f0.score_full + f1.score_full
+                        pairs[k][4] = (100000 * total) // smax
+                i = j
+            return pairs
+
+        def start_key(fh):
+            return (fh.cn, fh.gen_st, fh.g_off + fh.genome_start)
+
+        def end_key(fh):
+            return (fh.cn, fh.gen_st,
+                    -(fh.g_off + fh.genome_start) - fh.rmapped
+                    + fh.deletions - fh.insertions)
+
+        pairs = [list(t) for t in cand_pairs]
+        pairs = push_dominant(pairs, 0, start_key)
+        pairs = push_dominant(pairs, 0, end_key)
+        pairs = push_dominant(pairs, 1, start_key)
+        pairs = push_dominant(pairs, 1, end_key)
+        # identity dedup by (foot0 row, foot1 row)
+        seen = set()
+        out = []
+        for t in sorted(pairs, key=lambda t: (t[0], t[1])):
+            if (t[0], t[1]) in seen:
+                continue
+            seen.add((t[0], t[1]))
+            out.append(t)
+        return out
+
+    # ------------------------------------------------------------------
+    def _halfpaired_unpaired(self, entries, istrand, hb, sv_paired,
+                             saved_rows, ropts):
+        """The unpaired fallback rounds: pass1 over ALL hits (reusing hit
+        lists), skipping saved hits in selection, then unpaired pass2."""
+        cfg = self.cfg
+        # vector scores for all hits with matches >= 2
+        scores = np.full(hb.n, -1, np.int64)
+        keep = hb.matches >= 2
+        idxs = np.flatnonzero(keep)
+        if not len(idxs):
+            return {}
+        G = _round_up(max(1, int(hb.w_len[idxs].max())), 64)
+        R = _round_up(max(e.read_len for e in entries), 64)
+        NB = _bucket_rows(len(idxs))
+        gb = self._gather_windows(self.index.genome, hb.cn[idxs],
+                                  hb.g_off[idxs], hb.w_len[idxs], G)
+        rb = self._reads_matrix(entries, hb.rid[idxs], hb.st[idxs], R)
+        gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
+        rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
+        sc = np.asarray(sw_vector.sw_score_batch(gb, rb, cfg.params)
+                        )[:len(idxs)].astype(np.int64)
+
+        score_max = hb.score_max[idxs].astype(np.int64)
+        thr = score_max * (ropts["pass1_threshold"] / 100.0)
+        wlen_cfg = np.array([e.window_len for e in entries], np.int64)
+        order = np.lexsort((np.arange(len(idxs)), hb.st[idxs], hb.rid[idxs]))
+        lg = -1
+        prev = None
+        eff = sc.copy()
+        for n in order:
+            r, s = hb.rid[idxs[n]], hb.st[idxs[n]]
+            if (r, s) != prev:
+                lg = -1
+                prev = (r, s)
+            # saved hits become last_good unconditionally and are never
+            # suppressed (read_pass1_per_strand, mapping.c:1299-1302)
+            if int(idxs[n]) in saved_rows:
+                lg = n
+                continue
+            if lg >= 0 and hb.cn[idxs[n]] == hb.cn[idxs[lg]] \
+               and (hb.g_off[idxs[n]]
+                    + int(abs_or_pct(cfg.window_overlap, wlen_cfg[r]))
+                    <= hb.g_off[idxs[lg]] + wlen_cfg[r]):
+                eff[n] = 0
+                continue
+            if sc[n] >= thr[n]:
+                lg = n
+
+        # select top-k unsaved hits per read
+        live = eff >= thr
+        rows_live = idxs[np.flatnonzero(live)]
+        rows_live = np.array([r for r in rows_live if r not in saved_rows],
+                             dtype=np.int64)
+        if not len(rows_live):
+            return {}
+        eff_map = {int(i): int(e) for i, e in zip(idxs, eff)}
+        pct = np.array([100000 * eff_map[int(r)]
+                        // int(hb.score_max[r]) for r in rows_live])
+        rid = hb.rid[rows_live]
+        order2 = np.lexsort((np.arange(len(rows_live)), -pct, rid))
+        K = 3 * cfg.num_outputs
+        sel = []
+        cnt = {}
+        for n in order2:
+            r = int(rid[n])
+            c = cnt.get(r, 0)
+            if c < K:
+                sel.append(int(rows_live[n]))
+                cnt[r] = c + 1
+
+        res = self._run_full_sw(entries, istrand, hb, sel, 50.0)
+        by_read = {}
+        for row, fh in res.items():
+            if fh is None or fh.score_full == 0:
+                continue
+            smax = fh.score_max
+            if fh.score_full < abs_or_pct(50.0, smax):
+                continue
+            fh.pass2_key = (100000 * fh.score_full) // smax
+            by_read.setdefault(int(hb.rid[row]), []).append(fh)
+
+        from shrimp_tpu.pipeline.options import ReadMappingOptions
+        opts = ReadMappingOptions()
+        opts.pass2.num_outputs = cfg.num_outputs
+        opts.pass2.strata = cfg.strata
+        out = {}
+        for r, finals in by_read.items():
+            kept = self._select_hits_no_mqv(finals, opts)
+            if kept:
+                out[r] = kept
+        return out
+
+    def _select_hits_no_mqv(self, finals, opts):
+        """_select_hits without the unpaired-MQV step (paired mode computes
+        its own class-based MQVs)."""
+        save_cmq = self.cfg.compute_mapping_qualities
+        try:
+            self.cfg.compute_mapping_qualities = False
+            return self._select_hits(finals, opts)
+        finally:
+            self.cfg.compute_mapping_qualities = save_cmq
+
+    # ------------------------------------------------------------------
+    def _paired_mqv(self, pr: PairResult):
+        """compute_paired_mqv (output.c:812-942)."""
+        cfg = self.cfg
+        pcfg = self.pcfg
+        probs = self.probs
+        re = pr.re
+
+        unp = {0: [fh for s, fh in pr.unpaired_hits if s == 0],
+               1: [fh for s, fh in pr.unpaired_hits if s == 1]}
+
+        # z1 per read over final unpaired hits
+        z1 = {}
+        for nip in (0, 1):
+            z1[nip] = sum(fh.posterior for fh in unp[nip])
+            for fh in unp[nip]:
+                fh.z0 = fh.posterior
+                fh.z1 = z1[nip]
+
+        # insert-size prior normalization
+        insert_size_denom = 0.0
+        for fh0, fh1, isz in pr.paired_hits:
+            insert_size_denom += mapq.get_pr_insert_size(
+                isz, pcfg.insert_size_mean, pcfg.insert_size_stddev)
+
+        # paired posteriors: z2 per foot (sum over its pairings), z3 total
+        z3 = 0.0
+        foot_pairings = {0: {}, 1: {}}
+        for k, (fh0, fh1, isz) in enumerate(pr.paired_hits):
+            foot_pairings[0].setdefault(id(fh0), (fh0, []))[1].append(k)
+            foot_pairings[1].setdefault(id(fh1), (fh1, []))[1].append(k)
+        for nip in (0, 1):
+            for fid, (fh, ks) in foot_pairings[nip].items():
+                tmp = 0.0
+                for k in ks:
+                    fh0, fh1, isz = pr.paired_hits[k]
+                    mate = fh1 if nip == 0 else fh0
+                    pr_ins = mapq.get_pr_insert_size(
+                        isz, pcfg.insert_size_mean, pcfg.insert_size_stddev)
+                    tmp += pr_ins * mate.posterior
+                tmp *= fh.posterior
+                tmp = max(tmp, 1e-200)
+                fh.z2 = tmp
+                fh.insert_size_denom = insert_size_denom
+                if nip == 0:
+                    z3 += tmp
+        for nip in (0, 1):
+            for fid, (fh, ks) in foot_pairings[nip].items():
+                fh.z3 = z3
+
+        # class-random probabilities
+        pr_top_random = [1.0, 1.0, 1.0]
+        for nip in (0, 1):
+            if not unp[nip]:
+                continue
+            best = max(unp[nip], key=lambda fh: fh.z0)
+            ptr = mapq.pr_random_mapping_given_score(
+                re[nip].read_len, best.score_full, cfg.params,
+                cfg.colour_space)
+            for fh in unp[nip]:
+                fh.pr_top_random = ptr
+            pr_top_random[nip] = min(ptr * self.index.total_len, 1.0)
+        if pr.paired_hits:
+            best_tmp = 1.0
+            for fh0, fh1, isz in pr.paired_hits:
+                tmp = mapq.pr_random_mapping_given_score(
+                    re[0].read_len, fh0.score_full, cfg.params,
+                    cfg.colour_space)
+                tmp *= mapq.pr_random_mapping_given_score(
+                    re[1].read_len, fh1.score_full, cfg.params,
+                    cfg.colour_space)
+                tmp *= 1000
+                best_tmp = min(best_tmp, tmp)
+            for fh0, fh1, isz in pr.paired_hits:
+                fh0.pr_top_random = best_tmp
+                fh1.pr_top_random = best_tmp
+            pr_top_random[2] = min(best_tmp * self.index.total_len, 1.0)
+
+        pr_missed = [mapq.get_pr_missed(re[1].read_len),
+                     mapq.get_pr_missed(re[0].read_len)]
+        for nip in (0, 1):
+            for fh in unp[nip]:
+                fh.pr_missed_mp = pr_missed[nip]
+
+        denom = 0.0
+        if unp[0]:
+            denom += pr_top_random[1] * pr_top_random[2] * pr_missed[0]
+        if unp[1]:
+            denom += pr_top_random[0] * pr_top_random[2] * pr_missed[1]
+        if pr.paired_hits:
+            denom += pr_top_random[0] * pr_top_random[1]
+
+        for nip in (0, 1):
+            for fh in unp[nip]:
+                p_corr = (pr_top_random[1 - nip] * pr_top_random[2]
+                          * pr_missed[nip] / denom) * (fh.z0 / fh.z1)
+                m = mapq.qv_from_pr_corr(p_corr)
+                fh.mqv = 0 if m < 4 else m
+        for fh0, fh1, isz in pr.paired_hits:
+            for fh in (fh0, fh1):
+                p_corr = (pr_top_random[0] * pr_top_random[1] / denom) \
+                    * (fh.z2 / fh.z3)
+                m = mapq.qv_from_pr_corr(p_corr)
+                fh.mqv = 0 if m < 4 else m
+
+    # ------------------------------------------------------------------
+    def sam_records_pair(self, pr: PairResult) -> list[sam.SamRecord]:
+        """readpair_output SAM emission (output.c:1237-1282)."""
+        cfg = self.cfg
+        recs: list[sam.SamRecord] = []
+        re = pr.re
+        for fh0, fh1, isz in pr.paired_hits:
+            recs.append(self._paired_record(re[0], fh0, re[1], fh1, isz,
+                                            True))
+            recs.append(self._paired_record(re[1], fh1, re[0], fh0, -isz,
+                                            False))
+        for nip, fh in pr.unpaired_hits:
+            mate_nip = 1 - nip
+            mapped = self._halfpair_record(re[nip], fh, re[mate_nip],
+                                           nip == 0)
+            unmapped = self._mate_unmapped_record(re[mate_nip], re[nip], fh,
+                                                  mate_nip == 0)
+            if nip == 0:
+                recs.extend([mapped, unmapped])
+            else:
+                recs.extend([unmapped, mapped])
+        if not pr.paired_hits and not pr.unpaired_hits and cfg.sam_unaligned:
+            for nip in (0, 1):
+                rec = sam.unaligned_record(re[nip].name, re[nip].seq,
+                                           re[nip].qual, cfg.qual_delta)
+                rec.flag = 0x1 | 0x4 | 0x8 | (0x40 if nip == 0 else 0x80)
+                recs.append(rec)
+        return recs
+
+    def _common_qname(self, name1: str, name2: str) -> str:
+        """Common-prefix qname trimming (hit_output, output.c:371-387)."""
+        i = 0
+        while i < min(len(name1), len(name2)) and name1[i] == name2[i]:
+            i += 1
+        if i > 0 and i <= len(name1) and name1[i - 1] in ":/":
+            i -= 1
+        return name1[:i]
+
+    def _hit_coords(self, fh: FinalHit, cn: int):
+        contig_len = int(self.index.contig_len[cn])
+        read_start = fh.read_start + 1
+        read_end = read_start + fh.rmapped - 1
+        if fh.gen_st == 0:
+            gstart = fh.g_off + fh.genome_start + 1
+        else:
+            right_most = contig_len - (fh.g_off + fh.genome_start)
+            gstart = right_most - (read_end - read_start
+                                   - fh.deletions + fh.insertions)
+        gend = gstart + fh.gmapped - 1
+        return gstart, gend
+
+    def _paired_record(self, re_s, fh_s, re_m, fh_m, isz, first_in_pair):
+        cfg = self.cfg
+        qname = self._common_qname(re_s.name, re_m.name)
+        gstart_s, gend_s = self._hit_coords(fh_s, fh_s.cn)
+        gstart_m, gend_m = self._hit_coords(fh_m, fh_m.cn)
+        rname = self.index.contig_names[fh_s.cn]
+        mrnm = self.index.contig_names[fh_m.cn]
+        same = rname == mrnm
+        # recompute isize from 5' coords for the SAM field (output.c:641-661)
+        if same:
+            fp_s = gend_s if fh_s.gen_st == 1 else gstart_s - 1
+            fp_m = gend_m if fh_m.gen_st == 1 else gstart_m - 1
+            tlen = fp_m - fp_s
+        else:
+            tlen = 0
+        rec = self._base_mapped_record(re_s, fh_s, qname)
+        rec.rnext = "=" if same else mrnm
+        rec.pnext = gstart_m
+        rec.tlen = tlen
+        rec.flag |= (0x1 | 0x2
+                     | (0x20 if fh_m.gen_st == 1 else 0)
+                     | (0x40 if first_in_pair else 0x80))
+        tags = [t for t in rec.tags if not t.startswith(("Z0", "Z1"))]
+        if cfg.compute_mapping_qualities:
+            as_idx = 1
+            z_tags = [
+                f"Z2:i:{mapq.double_to_neglog(fh_s.z2)}",
+                f"Z3:i:{mapq.double_to_neglog(fh_s.z3)}",
+                f"Z4:i:{mapq.double_to_neglog(fh_s.pr_top_random)}",
+                f"Z6:i:{mapq.double_to_neglog(fh_s.insert_size_denom)}",
+            ]
+            tags = tags[:as_idx] + z_tags + tags[as_idx:]
+        rec.tags = tags
+        return rec
+
+    def _halfpair_record(self, re_s, fh, re_m, first_in_pair):
+        cfg = self.cfg
+        qname = self._common_qname(re_s.name, re_m.name)
+        rec = self._base_mapped_record(re_s, fh, qname)
+        rec.flag |= 0x1 | 0x8 | (0x40 if first_in_pair else 0x80)
+        tags = [t for t in rec.tags if not t.startswith(("Z0", "Z1"))]
+        if cfg.compute_mapping_qualities:
+            z_tags = [
+                f"Z0:i:{mapq.double_to_neglog(fh.z0)}",
+                f"Z1:i:{mapq.double_to_neglog(fh.z1)}",
+                f"Z4:i:{mapq.double_to_neglog(fh.pr_top_random)}",
+                f"Z5:i:{mapq.double_to_neglog(fh.pr_missed_mp)}",
+            ]
+            tags = tags[:1] + z_tags + tags[1:]
+        rec.tags = tags
+        return rec
+
+    def _base_mapped_record(self, re_s, fh, qname):
+        cfg = self.cfg
+        return sam.aligned_record_from_ops(
+            name=qname,
+            seq_text=re_s.seq,
+            qual=re_s.qual,
+            contig_name=self.index.contig_names[fh.cn],
+            contig_len=int(self.index.contig_len[fh.cn]),
+            genome_start0=fh.g_off + fh.genome_start,
+            read_start0=fh.read_start,
+            rmapped=fh.rmapped, gmapped=fh.gmapped,
+            insertions=fh.insertions, deletions=fh.deletions,
+            mismatches=fh.mismatches,
+            ops=fh.ops,
+            reverse_strand=fh.gen_st == 1,
+            score_full=fh.score_full,
+            mapq_v=fh.mqv if cfg.compute_mapping_qualities else 255,
+            z0=None, z1=None,
+            qual_delta=cfg.qual_delta,
+            read_len=re_s.read_len)
+
+    def _mate_unmapped_record(self, re_u, re_m, fh_m, first_in_pair):
+        """SAM line for the unmapped mate of a half-paired hit
+        (hit_output with rh == NULL, output.c:407-475)."""
+        cfg = self.cfg
+        qname = self._common_qname(re_u.name, re_m.name)
+        gstart_m, _ = self._hit_coords(fh_m, fh_m.cn)
+        rec = sam.unaligned_record(qname, re_u.seq, re_u.qual, cfg.qual_delta)
+        rec.flag = (0x1 | 0x4
+                    | (0x20 if fh_m.gen_st == 1 else 0)
+                    | (0x40 if first_in_pair else 0x80))
+        rec.rnext = self.index.contig_names[fh_m.cn]
+        rec.pnext = gstart_m
+        return rec
