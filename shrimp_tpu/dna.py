@@ -126,13 +126,41 @@ def colours_to_letters(colours: np.ndarray, init_base: int) -> np.ndarray:
     return out
 
 
-def reverse_complement_cs(colours: np.ndarray) -> np.ndarray:
-    """Reverse a colour-space sequence.
+def lstocs(a: int | np.ndarray, b: int | np.ndarray) -> np.ndarray:
+    """Colour between two letters: XOR for proper bases, else N
+    (`common/util.h` lstocs / colourmat)."""
+    a = np.asarray(a, dtype=np.int8)
+    b = np.asarray(b, dtype=np.int8)
+    return np.where((a > BASE_T) | (b > BASE_T), np.int8(BASE_N),
+                    (a ^ b).astype(np.int8))
 
-    Colours are strand-symmetric: the colour between complemented letters is
-    unchanged, so the RC of a colour sequence is simply its reversal
-    (`common/util.c reverse_complement_read_cs` keeps colours, reverses order).
-    """
+
+def complement_base(a: int) -> int:
+    """Complement of one proper base (A<->T, C<->G)."""
+    return int(COMPLEMENT[a])
+
+
+def reverse_complement_read_cs(colours: np.ndarray, initbp: int,
+                               initbp_rc: int) -> np.ndarray:
+    """Reverse complement of a colour-space read
+    (`common/util.c:615-632` reverse_complement_read_cs).
+
+    Interior colours are strand-symmetric, so colours 1..n-1 simply reverse;
+    colour 0 of the RC read is the colour between the read's final decoded
+    letter and the complement of the RC primer base."""
+    colours = np.asarray(colours, dtype=np.int8)
+    n = len(colours)
+    letters = colours_to_letters(colours, initbp)
+    last = int(letters[-1]) if n else initbp
+    rc = np.empty(n, dtype=np.int8)
+    rc[1:] = colours[1:][::-1]
+    rc[0] = lstocs(last, complement_base(initbp_rc))
+    return rc
+
+
+def reverse_complement_cs(colours: np.ndarray) -> np.ndarray:
+    """Reverse a colour-space sequence (interior colours only — use
+    reverse_complement_read_cs for whole reads with a primer base)."""
     return np.asarray(colours)[::-1].copy()
 
 

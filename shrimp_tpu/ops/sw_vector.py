@@ -39,13 +39,19 @@ READ_PAD = -2
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def sw_score_batch(genome: jax.Array, read: jax.Array,
-                   params: SWParams = SWParams()) -> jax.Array:
+                   params: SWParams = SWParams(),
+                   genome_row0: jax.Array | None = None) -> jax.Array:
     """Local affine SW scores for a batch of (genome window, read) pairs.
 
     Args:
       genome: int8/int32 [B, G] base codes; pad with GENOME_PAD (-1).
       read:   int8/int32 [B, R] base codes; pad with READ_PAD (-2).
       params: scoring parameters (negative penalties, reference convention).
+      genome_row0: optional int8/int32 [B, G] alternative genome plane used
+        for read row 0 only.  This is the colour-space contract
+        (`sw-vector.c:111-147`): the read's first colour matches against
+        `lstocs(genome_ls[j], initbp)` while later colours match the CS
+        genome plane.
 
     Returns:
       int32 [B] best local alignment score (>= 0).
@@ -94,6 +100,11 @@ def sw_score_batch(genome: jax.Array, read: jax.Array,
                           shift_right(b_d1, NEG_INF) - be)
         # match/mismatch from diag d-2 slot i-1
         ms = jnp.where(gdiag == read, m, x)
+        if genome_row0 is not None:
+            # read row 0 (slot 0) matches the alternative plane at column d
+            g0 = jax.lax.dynamic_slice_in_dim(genome_row0_p, d, 1, axis=1)
+            ms0 = jnp.where(g0 == read[:, :1], m, x)
+            ms = jnp.concatenate([ms0, ms[:, 1:]], axis=1)
         h_diag = shift_right(h_d2, 0) + ms
         h_d = jnp.maximum(jnp.maximum(h_diag, 0), jnp.maximum(a_d, b_d))
 
@@ -109,6 +120,11 @@ def sw_score_batch(genome: jax.Array, read: jax.Array,
     # pad genome so dynamic_slice at d >= G stays in bounds (chars unused:
     # their slots are masked invalid)
     genome = jnp.pad(genome, ((0, 0), (0, R)), constant_values=GENOME_PAD)
+    genome_row0_p = None
+    if genome_row0 is not None:
+        genome_row0_p = jnp.pad(genome_row0.astype(jnp.int32),
+                                ((0, 0), (0, R)),
+                                constant_values=GENOME_PAD)
 
     (h_d1, h_d2, a_d1, b_d1, gdiag, best), _ = jax.lax.scan(
         step, (h_d1, h_d2, a_d1, b_d1, gdiag, best),
@@ -116,7 +132,8 @@ def sw_score_batch(genome: jax.Array, read: jax.Array,
     return best
 
 
-def sw_score_numpy(genome, read, params: SWParams = SWParams()) -> int:
+def sw_score_numpy(genome, read, params: SWParams = SWParams(),
+                   genome_row0=None) -> int:
     """NumPy oracle: straightforward O(G*R) local affine SW for one pair."""
     import numpy as np
 
@@ -133,7 +150,9 @@ def sw_score_numpy(genome, read, params: SWParams = SWParams()) -> int:
         for j in range(1, G + 1):
             A[i][j] = max(H[i][j - 1] - aoe, A[i][j - 1] - ae)
             Bm[i][j] = max(H[i - 1][j] - boe, Bm[i - 1][j] - be)
-            ms = params.match if genome[j - 1] == read[i - 1] else params.mismatch
+            g = genome[j - 1] if (genome_row0 is None or i > 1) \
+                else genome_row0[j - 1]
+            ms = params.match if g == read[i - 1] else params.mismatch
             H[i][j] = max(0, H[i - 1][j - 1] + ms, A[i][j], Bm[i][j])
             best = max(best, H[i][j])
     return int(best)

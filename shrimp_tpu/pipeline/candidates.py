@@ -39,6 +39,8 @@ class ReadEntry:
     min_kmer_pos: int = 0
     initbp: int = -1              # colour space only
     is_rna: bool = False
+    crossover_score: np.ndarray | None = None  # per-colour qv-derived penalty
+    read_ls4: np.ndarray | None = None         # CS: 4 letter decodings [4, R]
 
 
 @dataclass
@@ -78,14 +80,43 @@ class HitList:
 def prepare_read(name: str, seq: str, qual: str | None,
                  cfg: MapperConfig, min_seed_span: int) -> ReadEntry:
     """Per-read prep (launch_scan_threads, gmapper.c:478-533)."""
+    crossover_score = None
+    read_ls4 = None
     if cfg.colour_space:
-        initbp = dna.CHAR_TO_CODE[ord(seq[0])]
+        initbp = int(dna.CHAR_TO_CODE[ord(seq[0])])
         colours = dna.encode(seq[1:])
         read_len = len(colours)
         fw = colours
-        rc = dna.reverse_complement_cs(colours)
+        rc = dna.reverse_complement_read_cs(colours, initbp, initbp)
         max_n_kmers = max(read_len - min_seed_span + 1 - 2, 0)
         min_kmer_pos = 1
+        # position-based crossover scores from qvs (gmapper.c:533-546)
+        if qual is not None and not cfg.ignore_qvs:
+            from shrimp_tpu import mapq
+            from shrimp_tpu.ops.params import ScoreProbs
+            probs = ScoreProbs.from_scores(cfg.params, True)
+            xs = np.empty(read_len, np.int32)
+            two_x = 2 * cfg.params.crossover
+            for j in range(read_len):
+                q = ord(qual[j]) - cfg.qual_delta
+                v = int(probs.alpha
+                        * np.log(mapq.pr_err_from_qv(q) / 3.0) / np.log(2.0))
+                xs[j] = -1 if v > -1 else (two_x if v < two_x else v)
+            crossover_score = xs
+        # the 4 letter-space decodings of the colour read
+        # (sw_full_cs, common/sw-full-cs.c:1195-1211); an N colour resets the
+        # decoding chain to the layer's initial letter
+        read_ls4 = np.empty((4, read_len), np.int8)
+        for k in range(4):
+            letter = (k + initbp) % 4
+            for j in range(read_len):
+                c = int(colours[j])
+                if not (0 <= c <= 3):
+                    read_ls4[k, j] = dna.BASE_N
+                    letter = (k + initbp) % 4
+                else:
+                    letter = letter ^ c
+                    read_ls4[k, j] = letter
     else:
         initbp = -1
         fw = dna.encode(seq)
@@ -96,7 +127,8 @@ def prepare_read(name: str, seq: str, qual: str | None,
     return ReadEntry(
         name=name, seq=seq, qual=qual, read=[fw, rc], read_len=read_len,
         window_len=int(abs_or_pct(cfg.window_len, read_len)),
-        max_n_kmers=max_n_kmers, min_kmer_pos=min_kmer_pos, initbp=initbp)
+        max_n_kmers=max_n_kmers, min_kmer_pos=min_kmer_pos, initbp=initbp,
+        crossover_score=crossover_score, read_ls4=read_ls4)
 
 
 def read_mapidxs(re: ReadEntry, idx: GenomeIndex, st: int) -> list[np.ndarray]:

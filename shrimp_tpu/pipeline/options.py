@@ -104,6 +104,9 @@ class MapperConfig:
     single_best_mapping: bool = False
     sam_unaligned: bool = False
     qual_delta: int = 33              # PHRED offset for *letter space* output
+    ignore_qvs: bool = False          # gmapper.h:105
+    indel_taboo_len: int = 0          # DEF_INDEL_TABOO_LEN
+    qual_vector_offset: int = 0       # gmapper.h:79 (CS: qv for primer base?)
     anchor_list_big_gap: int = 1024
     # candidate-generation capacity knobs (TPU fixed-shape budgets)
     max_anchors_per_strand: int = 4096
