@@ -188,6 +188,67 @@ def aligned_record_from_ops(*, name: str, seq_text: str, qual: str | None,
         cigar=cigar_string(cig), seq=seq, qual=qual_out, tags=tags)
 
 
+def unaligned_record_cs(name: str, seq_text: str,
+                        qual_raw: str | None) -> SamRecord:
+    """Unmapped colour-space record: SEQ/QUAL are '*'; the raw colour read
+    and its qualities ride in CS:Z / CQ:Z (hit_output, output.c:441-451)."""
+    rec = SamRecord(qname=name, flag=0x4)
+    rec.tags.append(f"CQ:Z:{qual_raw if qual_raw is not None else '*'}")
+    rec.tags.append(f"CS:Z:{seq_text}")
+    return rec
+
+
+def aligned_record_cs(*, name: str, seq_text: str, qual_raw: str | None,
+                      contig_name: str, contig_len: int,
+                      genome_start0: int, read_start0: int,
+                      rmapped: int, gmapped: int,
+                      insertions: int, deletions: int, mismatches: int,
+                      ops, qralign: str, qual33: str | None,
+                      crossovers: int, reverse_strand: bool,
+                      score_full: int, mapq_v: int,
+                      z0: float | None = None, z1: float | None = None,
+                      read_len: int | None = None) -> SamRecord:
+    """One mapped colour-space SAM record (hit_output, output.c:478-730).
+
+    SEQ is the called letter sequence (qralign sans gaps, upper-cased);
+    clipped colours are hard-clipped (S->H, :578-585); QUAL is the posterior
+    base-quality string from post_sw (already PHRED+33), plainly reversed on
+    the reverse strand; CQ/CS carry the raw colour data and CM/XX the
+    crossover count and raw alignment string."""
+    read_start_1 = read_start0 + 1
+    read_end_1 = read_start_1 + rmapped - 1
+    cig = cigar_from_ops([int(o) & 3 for o in ops], read_start_1, read_end_1,
+                         read_len)
+    cig = [(n, "H" if op == "S" else op) for n, op in cig]
+    seq = "".join(c for c in qralign.upper() if c != "-")
+    qual_out = "*"
+    if qual33 is not None:
+        qual_out = qual33
+    if not reverse_strand:
+        pos = genome_start0 + 1
+    else:
+        right_most = contig_len - genome_start0
+        pos = right_most - (gmapped - 1)
+        seq = revcomp_text(seq)
+        cig = cig[::-1]
+        if qual_out != "*":
+            qual_out = qual_out[::-1]
+    tags = [f"AS:i:{score_full}"]
+    if z0 is not None and z1 is not None:
+        tags.append(f"Z0:i:{mapq.double_to_neglog(z0)}")
+        tags.append(f"Z1:i:{mapq.double_to_neglog(z1)}")
+    tags.append(f"NM:i:{mismatches + deletions + insertions}")
+    if qual_raw is not None:
+        tags.append(f"CQ:Z:{qual_raw}")
+    tags.append(f"CS:Z:{seq_text}")
+    tags.append(f"CM:i:{crossovers}")
+    tags.append(f"XX:Z:{qralign}")
+    flag = 0x10 if reverse_strand else 0
+    return SamRecord(
+        qname=name, flag=flag, rname=contig_name, pos=pos, mapq=mapq_v,
+        cigar=cigar_string(cig), seq=seq, qual=qual_out, tags=tags)
+
+
 def aligned_record(*, name: str, seq_text: str, qual: str | None,
                    contig_name: str, contig_len: int,
                    genome_start0: int, read_start0: int,

@@ -84,6 +84,13 @@ def prepare_read(name: str, seq: str, qual: str | None,
     read_ls4 = None
     if cfg.colour_space:
         initbp = int(dna.CHAR_TO_CODE[ord(seq[0])])
+        if not 0 <= initbp <= 3:
+            # no ACGT primer base: unusable read (fasta_sequence_to_bitfield
+            # returns NULL, fasta.c:623-634)
+            return ReadEntry(name=name, seq=seq, qual=qual,
+                             read=[np.zeros(0, np.int8)] * 2, read_len=0,
+                             window_len=0, max_n_kmers=0, min_kmer_pos=1,
+                             initbp=-1)
         colours = dna.encode(seq[1:])
         read_len = len(colours)
         fw = colours

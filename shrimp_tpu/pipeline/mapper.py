@@ -86,6 +86,11 @@ class FinalHit:
     pr_top_random: float = 1.0
     insert_size_denom: float = 0.0
     pr_missed_mp: float = 0.0
+    # colour-space extras (sw_full_results CS fields + post_sw output)
+    crossovers: int = 0
+    dbalign: str = ""
+    qralign: str = ""
+    qual33: str | None = None
 
 
 class Mapper:
@@ -105,6 +110,21 @@ class Mapper:
             parts.append(dna.reverse_complement(index.genome[lo:hi]))
         self.genome_rc = (np.concatenate(parts).astype(np.int8)
                           if parts else np.zeros(0, np.int8))
+        # CS planes: colour translations of both letter strands
+        # (genome_cs_contigs / genome_cs_contigs_rc, genome.c:1098-1119)
+        self.genome_cs = index.genome_cs
+        self.genome_cs_rc = None
+        if self.cfg.colour_space:
+            assert index.genome_cs is not None, \
+                "colour-space mapping needs an index built with colour_space"
+            rc_parts = []
+            for c in range(index.num_contigs):
+                lo = int(index.contig_offsets[c])
+                hi = lo + int(index.contig_len[c])
+                rc_parts.append(dna.letters_to_colours(self.genome_rc[lo:hi],
+                                                       dna.BASE_T))
+            self.genome_cs_rc = (np.concatenate(rc_parts).astype(np.int8)
+                                 if rc_parts else np.zeros(0, np.int8))
         self.min_seed_span = index.seed_set.min_span
         self.stats = {"reads": 0, "reads_matched": 0, "reads_dropped": 0,
                       "total_matches": 0, "pass1_windows": 0,
@@ -201,13 +221,52 @@ class Mapper:
         G = _round_up(max(1, int(hb.w_len[idxs].max())), 64)
         R = _round_up(max(e.read_len for e in entries), 64)
         NB = _bucket_rows(len(idxs))
-        gb = self._gather_windows(self.index.genome, hb.cn[idxs],
-                                  hb.g_off[idxs], hb.w_len[idxs], G)
-        rb = self._reads_matrix(entries, rid, st, R)
-        gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
-        rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
-        scores = np.asarray(sw_vector.sw_score_batch(gb, rb, cfg.params)
-                            )[:len(idxs)].astype(np.int64)
+        if cfg.colour_space:
+            # reverse-hit framing first (read_pass1_per_strand,
+            # mapping.c:1317-1341): score the forward colour read against the
+            # CS plane of the hit's genome strand, with the colour-0 row
+            # matched against lstocs(letter plane, initbp)
+            cn_s = hb.cn[idxs]
+            wl = hb.w_len[idxs].astype(np.int64)
+            clen = self.index.contig_len[cn_s]
+            rev = st == 1
+            goff_f = np.where(rev, clen - hb.g_off[idxs] - wl,
+                              hb.g_off[idxs])
+            g_cs = np.where(
+                rev[:, None],
+                self._gather_windows(self.genome_cs_rc, cn_s, goff_f,
+                                     hb.w_len[idxs], G),
+                self._gather_windows(self.genome_cs, cn_s, goff_f,
+                                     hb.w_len[idxs], G))
+            g_ls = np.where(
+                rev[:, None],
+                self._gather_windows(self.genome_rc, cn_s, goff_f,
+                                     hb.w_len[idxs], G),
+                self._gather_windows(self.index.genome, cn_s, goff_f,
+                                     hb.w_len[idxs], G))
+            initbp = np.array([entries[r].initbp for r in rid],
+                              np.int8)[:, None]
+            row0 = np.where(
+                (g_ls >= 0) & (g_ls <= 3), g_ls ^ initbp,
+                np.where(g_ls == sw_vector.GENOME_PAD,
+                         np.int8(sw_vector.GENOME_PAD),
+                         np.int8(dna.BASE_N))).astype(np.int8)
+            rb = self._reads_matrix(entries, rid, np.zeros(len(rid), np.int8),
+                                    R)
+            gb = _pad_rows(g_cs.astype(np.int8), NB, sw_vector.GENOME_PAD)
+            rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
+            row0 = _pad_rows(row0, NB, sw_vector.GENOME_PAD)
+            scores = np.asarray(sw_vector.sw_score_batch(
+                gb, rb, cfg.params, genome_row0=row0)
+            )[:len(idxs)].astype(np.int64)
+        else:
+            gb = self._gather_windows(self.index.genome, hb.cn[idxs],
+                                      hb.g_off[idxs], hb.w_len[idxs], G)
+            rb = self._reads_matrix(entries, rid, st, R)
+            gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
+            rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
+            scores = np.asarray(sw_vector.sw_score_batch(gb, rb, cfg.params)
+                                )[:len(idxs)].astype(np.int64)
         score_max = hb.score_max[idxs].astype(np.int64)
         if opts.pass1.threshold >= 0:
             thr = (score_max * (opts.pass1.threshold / 100.0))
@@ -313,11 +372,31 @@ class Mapper:
         rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
         rev = _pad_rows(rev, NB, False)
 
-        stats_d, ops_d = sw_full.sw_full_and_traceback_jax(
-            gb, rb, rev, cfg.params,
-            local_alignment=not cfg.global_alignment,
-            band_xmin=band_xmin, band_xmax=band_xmax)
-        stats = np.asarray(stats_d)[:N]
+        crossovers = None
+        if cfg.colour_space:
+            from shrimp_tpu.ops import sw_full_cs
+            qr4 = np.full((N, 4, R), sw_vector.READ_PAD, np.int8)
+            xover = np.full((N, R), cfg.params.crossover, np.int32)
+            for n, r in enumerate(rid):
+                e = entries[r]
+                qr4[n, :, :e.read_len] = e.read_ls4
+                if e.crossover_score is not None:
+                    xover[n, :e.read_len] = e.crossover_score
+            qr4 = _pad_rows(qr4, NB, sw_vector.READ_PAD)
+            xover = _pad_rows(xover, NB, cfg.params.crossover)
+            stats_d, ops_d = sw_full_cs.sw_full_cs_and_traceback_jax(
+                gb, qr4, xover, rev, cfg.params,
+                local_alignment=not cfg.global_alignment,
+                taboo_len=cfg.indel_taboo_len,
+                band_xmin=band_xmin, band_xmax=band_xmax)
+            stats = np.asarray(stats_d)[:N]
+            crossovers = stats[:, 10]
+        else:
+            stats_d, ops_d = sw_full.sw_full_and_traceback_jax(
+                gb, rb, rev, cfg.params,
+                local_alignment=not cfg.global_alignment,
+                band_xmin=band_xmin, band_xmax=band_xmax)
+            stats = np.asarray(stats_d)[:N]
         ops_all = np.asarray(ops_d)[:N]
         score = stats[:, 0]
         tb = {"read_start": stats[:, 1], "genome_start": stats[:, 2],
@@ -325,6 +404,7 @@ class Mapper:
               "insertions": stats[:, 5], "deletions": stats[:, 6],
               "rmapped": stats[:, 7], "gmapped": stats[:, 8],
               "ops_len": stats[:, 9], "ops": ops_all}
+        gb_np = np.asarray(gb)
 
         # --- selection per read (read_pass2) ---
         out: dict[int, list[FinalHit]] = {}
@@ -344,11 +424,42 @@ class Mapper:
                     continue
                 thresh = abs_or_pct(opts.pass2.threshold, score_max[n])
                 rmapped = int(tb["rmapped"][n])
-                posterior = mapq.ls_posterior(s, rmapped, self.probs)
-                ps = mapq.posterior_score(posterior, rmapped, self.probs)
-                score_full = ps if cfg.compute_mapping_qualities else s
-                if score_full < thresh:
-                    continue
+                ops_n = tb["ops"][n, :tb["ops_len"][n]].copy()
+                if cfg.colour_space:
+                    # sw_full_cs itself zeroes sub-threshold raw scores
+                    # (sw-full-cs.c:1215-1223)
+                    if s < thresh:
+                        continue
+                    from shrimp_tpu.ops import post_sw as post_sw_mod
+                    from shrimp_tpu.ops import sw_full_cs
+                    e = entries[rid[n]]
+                    dbal, qral = sw_full_cs.render_alignment_cs(
+                        ops_n, gb_np[n], np.asarray(qr4[n]),
+                        int(tb["genome_start"][n]), int(tb["read_start"][n]))
+                    qual33 = None
+                    if cfg.compute_mapping_qualities:
+                        q_in = (None if (e.qual is None or cfg.ignore_qvs)
+                                else e.qual)
+                        posterior, qual33 = post_sw_mod.post_sw(
+                            e.read[0], e.initbp, q_in,
+                            int(tb["read_start"][n]), dbal, qral, self.probs,
+                            qual_delta=cfg.qual_delta,
+                            qual_vector_offset=cfg.qual_vector_offset)
+                        score_full = mapq.posterior_score(posterior, rmapped,
+                                                          self.probs)
+                        if score_full < thresh:
+                            continue
+                    else:
+                        posterior = 0.0
+                        score_full = s
+                else:
+                    dbal = qral = ""
+                    qual33 = None
+                    posterior = mapq.ls_posterior(s, rmapped, self.probs)
+                    ps = mapq.posterior_score(posterior, rmapped, self.probs)
+                    score_full = ps if cfg.compute_mapping_qualities else s
+                    if score_full < thresh:
+                        continue
                 pct = (100000 * score_full) // int(score_max[n])
                 key = (score_full if is_absolute(opts.pass2.threshold)
                        else pct)
@@ -363,7 +474,10 @@ class Mapper:
                     mismatches=int(tb["mismatches"][n]),
                     insertions=int(tb["insertions"][n]),
                     deletions=int(tb["deletions"][n]),
-                    ops=tb["ops"][n, :tb["ops_len"][n]].copy()))
+                    ops=ops_n,
+                    crossovers=(int(crossovers[n]) if crossovers is not None
+                                else 0),
+                    dbalign=dbal, qralign=qral, qual33=qual33))
             kept = self._select_hits(finals, opts)
             if kept:
                 out[int(li)] = kept
@@ -427,13 +541,41 @@ class Mapper:
         recs = []
         if not hits:
             if cfg.sam_unaligned:
-                recs.append(sam.unaligned_record(re.name, re.seq, re.qual,
-                                                 cfg.qual_delta))
+                if cfg.colour_space:
+                    recs.append(sam.unaligned_record_cs(re.name, re.seq,
+                                                        re.qual))
+                else:
+                    recs.append(sam.unaligned_record(re.name, re.seq, re.qual,
+                                                     cfg.qual_delta))
             return recs
         sel = hits
         if cfg.single_best_mapping and cfg.compute_mapping_qualities:
             best = max(range(len(hits)), key=lambda i: hits[i].mqv)
             sel = [hits[best]]
+        if cfg.colour_space:
+            for fh in sel:
+                recs.append(sam.aligned_record_cs(
+                    name=re.name,
+                    seq_text=re.seq,
+                    qual_raw=re.qual,
+                    contig_name=self.index.contig_names[fh.cn],
+                    contig_len=int(self.index.contig_len[fh.cn]),
+                    genome_start0=fh.g_off + fh.genome_start,
+                    read_start0=fh.read_start,
+                    rmapped=fh.rmapped, gmapped=fh.gmapped,
+                    insertions=fh.insertions, deletions=fh.deletions,
+                    mismatches=fh.mismatches,
+                    ops=fh.ops, qralign=fh.qralign,
+                    qual33=(fh.qual33
+                            if cfg.compute_mapping_qualities else None),
+                    crossovers=fh.crossovers,
+                    reverse_strand=fh.gen_st == 1,
+                    score_full=fh.score_full,
+                    mapq_v=fh.mqv if cfg.compute_mapping_qualities else 255,
+                    z0=fh.z0 if cfg.compute_mapping_qualities else None,
+                    z1=fh.z1 if cfg.compute_mapping_qualities else None,
+                    read_len=re.read_len))
+            return recs
         for fh in sel:
             recs.append(sam.aligned_record_from_ops(
                 name=re.name,
