@@ -41,6 +41,7 @@ class ReadEntry:
     is_rna: bool = False
     crossover_score: np.ndarray | None = None  # per-colour qv-derived penalty
     read_ls4: np.ndarray | None = None         # CS: 4 letter decodings [4, R]
+    read_ls4_rc: np.ndarray | None = None      # lazy, for input_strand == 1
 
 
 @dataclass
@@ -77,6 +78,38 @@ class HitList:
         return len(self.g_off)
 
 
+def cs_read_ls4(colours: np.ndarray, initbp: int) -> np.ndarray:
+    """The 4 letter-space decodings of a colour read (sw_full_cs,
+    common/sw-full-cs.c:1195-1211); layer k starts at letter (initbp+k)%4 and
+    an N colour resets the decoding chain to the layer's initial letter."""
+    read_len = len(colours)
+    out = np.empty((4, read_len), np.int8)
+    for k in range(4):
+        letter = (k + initbp) % 4
+        for j in range(read_len):
+            c = int(colours[j])
+            if not (0 <= c <= 3):
+                out[k, j] = dna.BASE_N
+                letter = (k + initbp) % 4
+            else:
+                letter = letter ^ c
+                out[k, j] = letter
+    return out
+
+
+def get_read_ls4(e: "ReadEntry", st: int) -> np.ndarray:
+    """Letter decodings for the requested read strand (lazy; caches may be
+    swapped/None after pair-mode read_reverse normalization;
+    initbp[1] == initbp[0], gmapper.c:487)."""
+    if st == 0:
+        if e.read_ls4 is None:
+            e.read_ls4 = cs_read_ls4(e.read[0], e.initbp)
+        return e.read_ls4
+    if e.read_ls4_rc is None:
+        e.read_ls4_rc = cs_read_ls4(e.read[1], e.initbp)
+    return e.read_ls4_rc
+
+
 def prepare_read(name: str, seq: str, qual: str | None,
                  cfg: MapperConfig, min_seed_span: int) -> ReadEntry:
     """Per-read prep (launch_scan_threads, gmapper.c:478-533)."""
@@ -110,20 +143,7 @@ def prepare_read(name: str, seq: str, qual: str | None,
                         * np.log(mapq.pr_err_from_qv(q) / 3.0) / np.log(2.0))
                 xs[j] = -1 if v > -1 else (two_x if v < two_x else v)
             crossover_score = xs
-        # the 4 letter-space decodings of the colour read
-        # (sw_full_cs, common/sw-full-cs.c:1195-1211); an N colour resets the
-        # decoding chain to the layer's initial letter
-        read_ls4 = np.empty((4, read_len), np.int8)
-        for k in range(4):
-            letter = (k + initbp) % 4
-            for j in range(read_len):
-                c = int(colours[j])
-                if not (0 <= c <= 3):
-                    read_ls4[k, j] = dna.BASE_N
-                    letter = (k + initbp) % 4
-                else:
-                    letter = letter ^ c
-                    read_ls4[k, j] = letter
+        read_ls4 = cs_read_ls4(colours, initbp)
     else:
         initbp = -1
         fw = dna.encode(seq)

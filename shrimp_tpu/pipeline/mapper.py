@@ -143,6 +143,49 @@ class Mapper:
         out = np.where(mask, np.int8(sw_vector.GENOME_PAD), out)
         return out.astype(np.int8)
 
+    def _vector_scores(self, entries, rid, st, cn, g_off_pos, w_len,
+                       istrand, G: int, R: int, NB: int) -> np.ndarray:
+        """Pass-1 vector-SW scores for hit rows (g_off in pos-strand frame).
+
+        LS scores read[st] against the forward genome; CS first applies the
+        reverse_hit framing (read_pass1_per_strand, mapping.c:1317-1341):
+        the input-strand colour read against the CS plane of the hit's
+        genome strand, colour 0 against lstocs(letter plane, initbp)."""
+        cfg = self.cfg
+        if not cfg.colour_space:
+            gb = self._gather_windows(self.index.genome, cn, g_off_pos,
+                                      w_len, G)
+            rb = self._reads_matrix(entries, rid, st, R)
+            gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
+            rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
+            return np.asarray(sw_vector.sw_score_batch(gb, rb, cfg.params)
+                              )[:len(rid)].astype(np.int64)
+
+        clen = self.index.contig_len[cn]
+        wl = w_len.astype(np.int64)
+        rev = st != istrand
+        goff_f = np.where(rev, clen - g_off_pos - wl, g_off_pos)
+        g_cs = np.where(
+            rev[:, None],
+            self._gather_windows(self.genome_cs_rc, cn, goff_f, w_len, G),
+            self._gather_windows(self.genome_cs, cn, goff_f, w_len, G))
+        g_ls = np.where(
+            rev[:, None],
+            self._gather_windows(self.genome_rc, cn, goff_f, w_len, G),
+            self._gather_windows(self.index.genome, cn, goff_f, w_len, G))
+        initbp = np.array([entries[r].initbp for r in rid], np.int8)[:, None]
+        row0 = np.where(
+            (g_ls >= 0) & (g_ls <= 3), g_ls ^ initbp,
+            np.where(g_ls == sw_vector.GENOME_PAD,
+                     np.int8(sw_vector.GENOME_PAD),
+                     np.int8(dna.BASE_N))).astype(np.int8)
+        rb = self._reads_matrix(entries, rid, istrand, R)
+        gb = _pad_rows(g_cs.astype(np.int8), NB, sw_vector.GENOME_PAD)
+        rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
+        row0 = _pad_rows(row0, NB, sw_vector.GENOME_PAD)
+        return np.asarray(sw_vector.sw_score_batch(
+            gb, rb, cfg.params, genome_row0=row0))[:len(rid)].astype(np.int64)
+
     def map_batch(self, reads: list[tuple[str, str, str | None]],
                   options: list[ReadMappingOptions] | None = None
                   ) -> list[tuple[cand.ReadEntry, list[FinalHit]]]:
@@ -221,52 +264,9 @@ class Mapper:
         G = _round_up(max(1, int(hb.w_len[idxs].max())), 64)
         R = _round_up(max(e.read_len for e in entries), 64)
         NB = _bucket_rows(len(idxs))
-        if cfg.colour_space:
-            # reverse-hit framing first (read_pass1_per_strand,
-            # mapping.c:1317-1341): score the forward colour read against the
-            # CS plane of the hit's genome strand, with the colour-0 row
-            # matched against lstocs(letter plane, initbp)
-            cn_s = hb.cn[idxs]
-            wl = hb.w_len[idxs].astype(np.int64)
-            clen = self.index.contig_len[cn_s]
-            rev = st == 1
-            goff_f = np.where(rev, clen - hb.g_off[idxs] - wl,
-                              hb.g_off[idxs])
-            g_cs = np.where(
-                rev[:, None],
-                self._gather_windows(self.genome_cs_rc, cn_s, goff_f,
-                                     hb.w_len[idxs], G),
-                self._gather_windows(self.genome_cs, cn_s, goff_f,
-                                     hb.w_len[idxs], G))
-            g_ls = np.where(
-                rev[:, None],
-                self._gather_windows(self.genome_rc, cn_s, goff_f,
-                                     hb.w_len[idxs], G),
-                self._gather_windows(self.index.genome, cn_s, goff_f,
-                                     hb.w_len[idxs], G))
-            initbp = np.array([entries[r].initbp for r in rid],
-                              np.int8)[:, None]
-            row0 = np.where(
-                (g_ls >= 0) & (g_ls <= 3), g_ls ^ initbp,
-                np.where(g_ls == sw_vector.GENOME_PAD,
-                         np.int8(sw_vector.GENOME_PAD),
-                         np.int8(dna.BASE_N))).astype(np.int8)
-            rb = self._reads_matrix(entries, rid, np.zeros(len(rid), np.int8),
-                                    R)
-            gb = _pad_rows(g_cs.astype(np.int8), NB, sw_vector.GENOME_PAD)
-            rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
-            row0 = _pad_rows(row0, NB, sw_vector.GENOME_PAD)
-            scores = np.asarray(sw_vector.sw_score_batch(
-                gb, rb, cfg.params, genome_row0=row0)
-            )[:len(idxs)].astype(np.int64)
-        else:
-            gb = self._gather_windows(self.index.genome, hb.cn[idxs],
-                                      hb.g_off[idxs], hb.w_len[idxs], G)
-            rb = self._reads_matrix(entries, rid, st, R)
-            gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
-            rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
-            scores = np.asarray(sw_vector.sw_score_batch(gb, rb, cfg.params)
-                                )[:len(idxs)].astype(np.int64)
+        scores = self._vector_scores(
+            entries, rid, st, hb.cn[idxs], hb.g_off[idxs], hb.w_len[idxs],
+            np.zeros(len(rid), np.int8), G, R, NB)
         score_max = hb.score_max[idxs].astype(np.int64)
         if opts.pass1.threshold >= 0:
             thr = (score_max * (opts.pass1.threshold / 100.0))

@@ -148,8 +148,10 @@ class PairedMapper(Mapper):
             e2 = cand.prepare_read(n2, s2, q2, cfg, self.min_seed_span)
             if rev1:
                 e1.read = [e1.read[1], e1.read[0]]
+                e1.read_ls4, e1.read_ls4_rc = e1.read_ls4_rc, e1.read_ls4
             if rev2:
                 e2.read = [e2.read[1], e2.read[0]]
+                e2.read_ls4, e2.read_ls4_rc = e2.read_ls4_rc, e2.read_ls4
             entries1.append(e1)
             entries2.append(e2)
         input_strand1 = 1 if rev1 else 0
@@ -191,7 +193,8 @@ class PairedMapper(Mapper):
         for side, entries, istrand in ((0, entries1, input_strand1),
                                        (1, entries2, input_strand2)):
             sv[side], sv_true[side] = self._paired_pass1(
-                entries, hits[side], pair_rows[f"in_pair_{side}"], ropts)
+                entries, istrand, hits[side], pair_rows[f"in_pair_{side}"],
+                ropts)
 
         # ---- paired vector-hit selection (readpair_get_vector_hits) ----
         sel_pairs = self._select_vector_pairs(hits, sv, pair_rows, popts)
@@ -315,7 +318,7 @@ class PairedMapper(Mapper):
         }
 
     # ------------------------------------------------------------------
-    def _paired_pass1(self, entries, hb, in_pair, ropts):
+    def _paired_pass1(self, entries, istrand, hb, in_pair, ropts):
         """Vector SW scores + suppression for hits participating in pairs
         (read_pass1 with only_paired=true).
 
@@ -333,13 +336,9 @@ class PairedMapper(Mapper):
         G = _round_up(max(1, int(hb.w_len[idxs].max())), 64)
         R = _round_up(max(e.read_len for e in entries), 64)
         NB = _bucket_rows(len(idxs))
-        gb = self._gather_windows(self.index.genome, hb.cn[idxs],
-                                  hb.g_off[idxs], hb.w_len[idxs], G)
-        rb = self._reads_matrix(entries, hb.rid[idxs], hb.st[idxs], R)
-        gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
-        rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
-        sc = np.asarray(sw_vector.sw_score_batch(gb, rb, cfg.params)
-                        )[:len(idxs)].astype(np.int64)
+        sc = self._vector_scores(
+            entries, hb.rid[idxs], hb.st[idxs], hb.cn[idxs], hb.g_off[idxs],
+            hb.w_len[idxs], np.full(len(idxs), istrand, np.int8), G, R, NB)
 
         # suppression scan per (rid, st) over participating hits in order
         score_max = hb.score_max[idxs].astype(np.int64)
@@ -468,12 +467,33 @@ class PairedMapper(Mapper):
         rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
         rev = _pad_rows(rev, NB, False)
 
-        stats_d, ops_d = sw_full.sw_full_and_traceback_jax(
-            gb, rb, rev, cfg.params,
-            local_alignment=not cfg.global_alignment,
-            band_xmin=band_xmin, band_xmax=band_xmax)
-        stats = np.asarray(stats_d)[:N]
+        crossovers = None
+        if cfg.colour_space:
+            from shrimp_tpu.ops import sw_full_cs
+            qr4 = np.full((N, 4, R), sw_vector.READ_PAD, np.int8)
+            xover = np.full((N, R), cfg.params.crossover, np.int32)
+            for k, r in enumerate(hb.rid[rows]):
+                e = entries[r]
+                qr4[k, :, :e.read_len] = cand.get_read_ls4(e, istrand)
+                if e.crossover_score is not None:
+                    xover[k, :e.read_len] = e.crossover_score
+            qr4 = _pad_rows(qr4, NB, sw_vector.READ_PAD)
+            xover = _pad_rows(xover, NB, cfg.params.crossover)
+            stats_d, ops_d = sw_full_cs.sw_full_cs_and_traceback_jax(
+                gb, qr4, xover, rev, cfg.params,
+                local_alignment=not cfg.global_alignment,
+                taboo_len=cfg.indel_taboo_len,
+                band_xmin=band_xmin, band_xmax=band_xmax)
+            stats = np.asarray(stats_d)[:N]
+            crossovers = stats[:, 10]
+        else:
+            stats_d, ops_d = sw_full.sw_full_and_traceback_jax(
+                gb, rb, rev, cfg.params,
+                local_alignment=not cfg.global_alignment,
+                band_xmin=band_xmin, band_xmax=band_xmax)
+            stats = np.asarray(stats_d)[:N]
         ops_all = np.asarray(ops_d)[:N]
+        gb_np = np.asarray(gb)
 
         out = {}
         score_max = hb.score_max[rows].astype(np.int64)
@@ -487,9 +507,37 @@ class PairedMapper(Mapper):
                 out[row] = None
                 continue
             rmapped = int(stats[k, 7])
-            posterior = mapq.ls_posterior(s, rmapped, self.probs)
-            ps = mapq.posterior_score(posterior, rmapped, self.probs)
-            score_full = ps if cfg.compute_mapping_qualities else s
+            ops_k = ops_all[k, :stats[k, 9]].copy()
+            dbal = qral = ""
+            qual33 = None
+            if cfg.colour_space:
+                # sw_full_cs itself gates on the raw-score threshold
+                if s < thresh:
+                    out[row] = None
+                    continue
+                from shrimp_tpu.ops import post_sw as post_sw_mod
+                from shrimp_tpu.ops import sw_full_cs
+                e = entries[hb.rid[row]]
+                dbal, qral = sw_full_cs.render_alignment_cs(
+                    ops_k, gb_np[k], np.asarray(qr4[k]),
+                    int(stats[k, 2]), int(stats[k, 1]))
+                if cfg.compute_mapping_qualities:
+                    q_in = (None if (e.qual is None or cfg.ignore_qvs)
+                            else e.qual)
+                    posterior, qual33 = post_sw_mod.post_sw(
+                        e.read[istrand], e.initbp, q_in,
+                        int(stats[k, 1]), dbal, qral, self.probs,
+                        qual_delta=cfg.qual_delta,
+                        qual_vector_offset=cfg.qual_vector_offset)
+                    score_full = mapq.posterior_score(posterior, rmapped,
+                                                      self.probs)
+                else:
+                    posterior = 0.0
+                    score_full = s
+            else:
+                posterior = mapq.ls_posterior(s, rmapped, self.probs)
+                ps = mapq.posterior_score(posterior, rmapped, self.probs)
+                score_full = ps if cfg.compute_mapping_qualities else s
             fh = FinalHit(
                 cn=int(cn[k]), gen_st=int(gen_st[k]), g_off=int(g_off[k]),
                 w_len=int(w_len[k]), score_full=score_full, sw_score=s,
@@ -498,7 +546,10 @@ class PairedMapper(Mapper):
                 rmapped=rmapped, gmapped=int(stats[k, 8]),
                 matches=int(stats[k, 3]), mismatches=int(stats[k, 4]),
                 insertions=int(stats[k, 5]), deletions=int(stats[k, 6]),
-                ops=ops_all[k, :stats[k, 9]].copy())
+                ops=ops_k,
+                crossovers=(int(crossovers[k]) if crossovers is not None
+                            else 0),
+                dbalign=dbal, qralign=qral, qual33=qual33)
             fh.score_max = int(score_max[k])
             out[row] = fh
         return out
@@ -647,13 +698,9 @@ class PairedMapper(Mapper):
         G = _round_up(max(1, int(hb.w_len[idxs].max())), 64)
         R = _round_up(max(e.read_len for e in entries), 64)
         NB = _bucket_rows(len(idxs))
-        gb = self._gather_windows(self.index.genome, hb.cn[idxs],
-                                  hb.g_off[idxs], hb.w_len[idxs], G)
-        rb = self._reads_matrix(entries, hb.rid[idxs], hb.st[idxs], R)
-        gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
-        rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
-        sc = np.asarray(sw_vector.sw_score_batch(gb, rb, cfg.params)
-                        )[:len(idxs)].astype(np.int64)
+        sc = self._vector_scores(
+            entries, hb.rid[idxs], hb.st[idxs], hb.cn[idxs], hb.g_off[idxs],
+            hb.w_len[idxs], np.full(len(idxs), istrand, np.int8), G, R, NB)
 
         score_max = hb.score_max[idxs].astype(np.int64)
         thr = score_max * (ropts["pass1_threshold"] / 100.0)
@@ -863,8 +910,12 @@ class PairedMapper(Mapper):
                 recs.extend([unmapped, mapped])
         if not pr.paired_hits and not pr.unpaired_hits and cfg.sam_unaligned:
             for nip in (0, 1):
-                rec = sam.unaligned_record(re[nip].name, re[nip].seq,
-                                           re[nip].qual, cfg.qual_delta)
+                if cfg.colour_space:
+                    rec = sam.unaligned_record_cs(re[nip].name, re[nip].seq,
+                                                  re[nip].qual)
+                else:
+                    rec = sam.unaligned_record(re[nip].name, re[nip].seq,
+                                               re[nip].qual, cfg.qual_delta)
                 rec.flag = 0x1 | 0x4 | 0x8 | (0x40 if nip == 0 else 0x80)
                 recs.append(rec)
         return recs
@@ -945,6 +996,26 @@ class PairedMapper(Mapper):
 
     def _base_mapped_record(self, re_s, fh, qname):
         cfg = self.cfg
+        if cfg.colour_space:
+            return sam.aligned_record_cs(
+                name=qname,
+                seq_text=re_s.seq,
+                qual_raw=re_s.qual,
+                contig_name=self.index.contig_names[fh.cn],
+                contig_len=int(self.index.contig_len[fh.cn]),
+                genome_start0=fh.g_off + fh.genome_start,
+                read_start0=fh.read_start,
+                rmapped=fh.rmapped, gmapped=fh.gmapped,
+                insertions=fh.insertions, deletions=fh.deletions,
+                mismatches=fh.mismatches,
+                ops=fh.ops, qralign=fh.qralign,
+                qual33=(fh.qual33 if cfg.compute_mapping_qualities else None),
+                crossovers=fh.crossovers,
+                reverse_strand=fh.gen_st == 1,
+                score_full=fh.score_full,
+                mapq_v=fh.mqv if cfg.compute_mapping_qualities else 255,
+                z0=None, z1=None,
+                read_len=re_s.read_len)
         return sam.aligned_record_from_ops(
             name=qname,
             seq_text=re_s.seq,
@@ -970,7 +1041,11 @@ class PairedMapper(Mapper):
         cfg = self.cfg
         qname = self._common_qname(re_u.name, re_m.name)
         gstart_m, _ = self._hit_coords(fh_m, fh_m.cn)
-        rec = sam.unaligned_record(qname, re_u.seq, re_u.qual, cfg.qual_delta)
+        if cfg.colour_space:
+            rec = sam.unaligned_record_cs(qname, re_u.seq, re_u.qual)
+        else:
+            rec = sam.unaligned_record(qname, re_u.seq, re_u.qual,
+                                       cfg.qual_delta)
         rec.flag = (0x1 | 0x4
                     | (0x20 if fh_m.gen_st == 1 else 0)
                     | (0x40 if first_in_pair else 0x80))
