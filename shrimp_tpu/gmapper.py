@@ -1,0 +1,543 @@
+"""gmapper-compatible command-line front end.
+
+Mirrors the reference driver (`gmapper/gmapper.c:main`, :1718-3108): mode
+selection from the program name or --mode, the getopt_long option surface
+(`gmapper/gmapper-defaults.h:74-173`), index save/load (-S/-L), settings
+banner, SAM header emission, chunked read intake, paired/unpaired dispatch,
+and the closing statistics block.
+
+Usage:
+    python -m shrimp_tpu.gmapper [--mode ls|cs] [options] reads.fa genome.fa
+    python -m shrimp_tpu.gmapper -L prefix reads.fq         (load index)
+    python -m shrimp_tpu.gmapper -S prefix genome.fa        (build index)
+"""
+
+from __future__ import annotations
+
+import getopt
+import os
+import sys
+import time
+
+import numpy as np
+
+VERSION = "0.1.0"
+
+_SHORT = "s:o:w:n:l:a:S:L:z:m:i:g:q:e:f:r:h:N:K:p:I:M:1:2:x:v:UCFPEQRTtXYZ?HDVB"
+
+_LONG = [
+    "un=", "al=", "upstream=", "downstream=", "sam-unaligned",
+    "longest-read=", "seeds=", "report=", "match-window=", "cmw-mode=",
+    "cmw-overlap=", "anchor-width=", "save=", "load=", "cutoff=", "match=",
+    "mismatch=", "open-r=", "open-q=", "ext-r=", "ext-q=", "cmv-threshold=",
+    "full-threshold=", "threads=", "thread-chunk=", "pair-mode=", "isize=",
+    "ungapped", "negative", "positive", "pretty", "sam", "fastq",
+    "print-reads", "rev-tiebreak", "tiebreak-off", "isize-histogram",
+    "proj-histogram", "cachebypass-off", "help", "hash-spaced-kmers",
+    "thread-stats", "trim-off", "strata", "max-alignments=", "global",
+    "read-group=", "sam-header=", "no-half-paired", "sam-r2", "mode=",
+    "trim-front=", "trim-end=", "trim-first", "trim-second",
+    "insert-size-dist=", "use-regions", "region-overlap=",
+    "paired-options=", "unpaired-options=", "min-avg-qv=",
+    "extra-sam-fields", "region-bits=", "progress=", "save-mmap=",
+    "load-mmap=", "indel-taboo-len=", "single-best-mapping", "all-contigs",
+    "no-mapping-qualities", "shrimp-format", "half-paired",
+    "no-improper-mappings", "qv-offset=", "sam-header-hd=", "sam-header-sq=",
+    "sam-header-rg=", "sam-header-pg=", "no-autodetect-input", "local",
+    "no-qv-check", "ignore-qvs", "enable-seed-qual-filter",
+    # colour-space extras
+    "crossover=", "vec-threshold=", "bfast",
+    # letter-space extras
+    "trim-illumina",
+]
+
+_UNSUPPORTED = {
+    "-P": "pretty-print output", "--pretty": "pretty-print output",
+    "-R": "print-reads output", "--print-reads": "print-reads output",
+    "--shrimp-format": "legacy SHRiMP output format",
+    "--bfast": "bfast-style quality recalibration",
+    "--paired-options": "experimental option-set strings",
+    "--unpaired-options": "experimental option-set strings",
+    "--enable-seed-qual-filter": "seed quality filter",
+    "--save-mmap": "POSIX-shm index residency",
+    "--load-mmap": "POSIX-shm index residency",
+}
+
+
+def usage(prog: str, mode: str) -> None:
+    sys.stderr.write(
+        f"usage: {prog} [options/parameters] { '{' }reads.fa | -1 r1 -2 r2{ '}' } "
+        "genome.fa...\n"
+        "see the SHRiMP2 README for the option reference; this TPU-native\n"
+        "build accepts the same surface (unsupported legacy options error "
+        "out).\n")
+
+
+def log(msg: str) -> None:
+    sys.stderr.write(msg + "\n")
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    prog = os.path.basename(argv[0]) if argv else "gmapper"
+    args = argv[1:]
+
+    mode = "ls"
+    if prog.endswith("-cs"):
+        mode = "cs"
+    # --mode may override (also reference -M ls/cs is a meta-mode selector)
+    try:
+        opts, positional = getopt.gnu_getopt(args, _SHORT, _LONG)
+    except getopt.GetoptError as exc:
+        log(f"error: {exc}")
+        return 1
+
+    for o, a in opts:
+        if o == "--mode" and a in ("ls", "cs"):
+            mode = a
+
+    from shrimp_tpu import index as gindex
+    from shrimp_tpu import seeds as seedmod
+    from shrimp_tpu.io import fastx, sam
+    from shrimp_tpu.ops.params import SWParams
+    from shrimp_tpu.pipeline.options import MapperConfig
+    from shrimp_tpu.pipeline.paired import (PAIR_MODE_NAMES, PairedConfig,
+                                            PairedMapper)
+    from shrimp_tpu.pipeline.mapper import Mapper
+
+    colour = mode == "cs"
+    params = SWParams.colour_space() if colour else SWParams.letter_space()
+    cfg = MapperConfig(colour_space=colour, params=params,
+                       qual_delta=(33 if colour else 64))
+    cfg.sam_unaligned = False
+
+    seed_specs: list[str] | None = None
+    seed_weight = 0
+    use_hashing = False
+    save_prefix = None
+    load_prefix = None
+    pair_mode = 0
+    isize_min, isize_max = 0, 1000
+    insert_size_mean, insert_size_stddev = 200.0, 100.0
+    fastq = None
+    threads = 1
+    chunk = 1000
+    batch_size = 2048
+    up_file = down_file = None
+    un_file = al_file = None
+    progress = 100000
+    thresholds = {"r": 55.0, "v": 47.0 if colour else 50.0, "h": 50.0}
+    x_isize_hist = False
+    y_proj_hist = False
+    d_stats = False
+    trim_front = trim_end = 0
+    trim_first = trim_second = True
+    min_avg_qv = -1
+    no_qv_check = False
+    no_autodetect = False
+    read_group = None
+    sam_header_file = None
+    extra_sam_fields = False
+    no_improper = False
+    mirna = False
+
+    score_updates: dict[str, int] = {}
+
+    for o, a in opts:
+        if o in _UNSUPPORTED:
+            log(f"error: option {o} ({_UNSUPPORTED[o]}) is not supported "
+                "in shrimp-tpu yet")
+            return 1
+        elif o in ("-s", "--seeds"):
+            if a.startswith("w"):
+                seed_weight = int(a[1:])
+            else:
+                seed_specs = (seed_specs or []) + a.split(",")
+        elif o in ("-o", "--report"):
+            cfg.num_outputs = int(a)
+        elif o in ("-w", "--match-window"):
+            cfg.window_len = (float(a[:-1]) if a.endswith("%")
+                              else -float(a))
+        elif o in ("-n", "--cmw-mode"):
+            cfg.match_mode_unpaired = int(a)
+        elif o in ("-l", "--cmw-overlap"):
+            cfg.window_overlap = (float(a[:-1]) if a.endswith("%")
+                                  else -float(a))
+        elif o in ("-a", "--anchor-width"):
+            cfg.anchor_width = int(a)
+        elif o in ("-S", "--save"):
+            save_prefix = a
+        elif o in ("-L", "--load"):
+            load_prefix = a
+        elif o in ("-z", "--cutoff"):
+            cfg.list_cutoff = int(a)
+        elif o in ("-m", "--match"):
+            score_updates["match"] = int(a)
+        elif o in ("-i", "--mismatch"):
+            score_updates["mismatch"] = int(a)
+        elif o in ("-g", "--open-r"):
+            score_updates["a_gap_open"] = int(a)
+        elif o in ("-q", "--open-q"):
+            score_updates["b_gap_open"] = int(a)
+        elif o in ("-e", "--ext-r"):
+            score_updates["a_gap_extend"] = int(a)
+        elif o in ("-f", "--ext-q"):
+            score_updates["b_gap_extend"] = int(a)
+        elif o in ("-x", "--crossover"):
+            score_updates["crossover"] = int(a)
+        elif o in ("-r", "--cmv-threshold"):
+            thresholds["r"] = (float(a[:-1]) if a.endswith("%")
+                               else -float(a))
+        elif o in ("-v", "--vec-threshold"):
+            thresholds["v"] = (float(a[:-1]) if a.endswith("%")
+                               else -float(a))
+        elif o in ("-h", "--full-threshold"):
+            thresholds["h"] = (float(a[:-1]) if a.endswith("%")
+                               else -float(a))
+        elif o in ("-N", "--threads"):
+            threads = int(a)
+        elif o in ("-K", "--thread-chunk"):
+            chunk = int(a)
+            batch_size = max(batch_size, chunk)
+        elif o in ("-p", "--pair-mode"):
+            if a not in PAIR_MODE_NAMES:
+                log(f"error: unknown pair mode {a!r}")
+                return 1
+            pair_mode = PAIR_MODE_NAMES.index(a)
+        elif o in ("-I", "--isize"):
+            lo, hi = a.split(",")
+            isize_min, isize_max = int(lo), int(hi)
+        elif o == "--insert-size-dist":
+            mu, sd = a.split(",")
+            insert_size_mean, insert_size_stddev = float(mu), float(sd)
+        elif o in ("-U", "--ungapped"):
+            cfg.gapless = True
+        elif o in ("-C", "--negative"):
+            cfg.strand_mask = 2
+        elif o in ("-F", "--positive"):
+            cfg.strand_mask = 1
+        elif o in ("-E", "--sam"):
+            pass                      # SAM is this build's only output format
+        elif o in ("-Q", "--fastq"):
+            fastq = True
+        elif o in ("-T", "--rev-tiebreak"):
+            cfg.rev_tiebreak = True
+        elif o in ("-t", "--tiebreak-off"):
+            cfg.rev_tiebreak = False
+        elif o in ("-X", "--isize-histogram"):
+            x_isize_hist = True
+        elif o in ("-Y", "--proj-histogram"):
+            y_proj_hist = True
+        elif o in ("-Z", "--cachebypass-off"):
+            pass                      # no SW cache in this build
+        elif o in ("-H", "--hash-spaced-kmers"):
+            use_hashing = True
+        elif o in ("-D", "--thread-stats"):
+            d_stats = True
+        elif o in ("-V", "--trim-off"):
+            cfg.list_cutoff = 0xFFFFFFFF
+        elif o in ("-M",):
+            if a == "mirna":
+                mirna = True
+            elif a in ("ls", "cs"):
+                mode = a
+            else:
+                log(f"error: unknown mode {a!r}")
+                return 1
+        elif o in ("-1", "--upstream"):
+            up_file = a
+        elif o in ("-2", "--downstream"):
+            down_file = a
+        elif o == "--un":
+            un_file = a
+        elif o == "--al":
+            al_file = a
+        elif o == "--sam-unaligned":
+            cfg.sam_unaligned = True
+        elif o == "--longest-read":
+            cfg.longest_read_len = int(a)
+        elif o == "--strata":
+            cfg.strata = True
+        elif o == "--max-alignments":
+            cfg.max_alignments = int(a)
+        elif o == "--global":
+            cfg.global_alignment = True
+        elif o == "--local":
+            cfg.global_alignment = False
+        elif o == "--half-paired":
+            cfg.half_paired = True
+        elif o == "--no-half-paired":
+            cfg.half_paired = False
+        elif o == "--no-improper-mappings":
+            no_improper = True
+        elif o == "--no-mapping-qualities":
+            cfg.compute_mapping_qualities = False
+        elif o == "--single-best-mapping":
+            cfg.single_best_mapping = True
+        elif o == "--all-contigs":
+            cfg.all_contigs = True
+        elif o == "--extra-sam-fields":
+            extra_sam_fields = True
+        elif o == "--qv-offset":
+            cfg.qual_delta = int(a)
+        elif o == "--ignore-qvs":
+            cfg.ignore_qvs = True
+        elif o == "--no-qv-check":
+            no_qv_check = True
+        elif o == "--min-avg-qv":
+            min_avg_qv = int(a)
+        elif o == "--indel-taboo-len":
+            cfg.indel_taboo_len = int(a)
+        elif o == "--trim-front":
+            trim_front = int(a)
+        elif o == "--trim-end":
+            trim_end = int(a)
+        elif o == "--trim-first":
+            trim_first, trim_second = True, False
+        elif o == "--trim-second":
+            trim_second, trim_first = True, False
+        elif o == "--use-regions":
+            cfg.use_regions = True
+        elif o == "--region-overlap":
+            from shrimp_tpu.pipeline import candidates_batch as cb
+            cb.REGION_OVERLAP = int(a)
+        elif o == "--region-bits":
+            from shrimp_tpu.pipeline import candidates_batch as cb
+            cb.REGION_BITS = int(a)
+        elif o == "--progress":
+            progress = int(a)
+        elif o == "--read-group":
+            read_group = a.split(",")
+        elif o == "--sam-header":
+            sam_header_file = a
+        elif o == "--no-autodetect-input":
+            no_autodetect = True
+        elif o in ("-?", "--help"):
+            usage(prog, mode)
+            return 0
+
+    if score_updates:
+        cfg.params = cfg.params.with_(**score_updates)
+    if mirna:
+        seed_specs = seedmod.MIRNA_SEEDS
+        cfg.gapless = True
+        cfg.num_outputs = max(cfg.num_outputs, 100)
+        cfg.anchor_width = 0
+
+    log(f"--------------------------------------------------"
+        f"------------------------------")
+    log(f"shrimp-tpu: [{'COLOUR' if colour else 'LETTER'} SPACE] gmapper "
+        f"v{VERSION} (SHRiMP2-compatible)")
+    log(f"--------------------------------------------------"
+        f"------------------------------")
+
+    # ----- index acquisition -----
+    t0 = time.time()
+    if load_prefix is not None:
+        idx = gindex.GenomeIndex.load(load_prefix)
+        if idx.colour_space != colour:
+            log("error: index space does not match mapper mode")
+            return 1
+        reads_files = positional
+    else:
+        if save_prefix is not None:
+            genome_files = positional
+            reads_files = []
+        else:
+            if len(positional) < (1 if (up_file or down_file) else 2):
+                usage(prog, mode)
+                return 1
+            if up_file or down_file:
+                genome_files = positional
+                reads_files = []
+            else:
+                reads_files = positional[:1]
+                genome_files = positional[1:]
+        seed_set = seedmod.make_seed_set(seed_specs, weight=seed_weight,
+                                         use_hashing=use_hashing)
+        contigs = []
+        for gf in genome_files:
+            log(f"- Processing genome file [{gf}]")
+            for c in fastx.iter_contigs(gf):
+                log(f"- Processing contig {c.name}")
+                contigs.append(c)
+        idx = gindex.build_index(contigs, seed_set, colour_space=colour)
+        if cfg.list_cutoff != 0xFFFFFFFF:
+            idx.trim(cfg.list_cutoff)
+        log(f"Loaded Genome ({time.time() - t0:.1f}s)")
+
+    if y_proj_hist:
+        for sn in range(len(idx.offsets)):
+            lens = np.diff(idx.offsets[sn])
+            lens = lens[lens > 0]
+            log(f"seed {sn} list-length histogram "
+                f"(n={len(lens)}, max={lens.max() if len(lens) else 0}):")
+            hist, edges = np.histogram(lens, bins=16)
+            for h, e0, e1 in zip(hist, edges[:-1], edges[1:]):
+                log(f"  [{e0:9.0f},{e1:9.0f}) {h}")
+
+    if save_prefix is not None:
+        idx.save(save_prefix)
+        log(f"Saved genome projection under [{save_prefix}]")
+        return 0
+
+    # ----- read input -----
+    if up_file or down_file:
+        if not (up_file and down_file):
+            log("error: need both -1 and -2 for split pair files")
+            return 1
+    elif not reads_files:
+        usage(prog, mode)
+        return 1
+
+    # ----- SAM header -----
+    out = sys.stdout
+    cmdline = " ".join(argv)
+    if sam_header_file:
+        with open(sam_header_file) as fh:
+            out.write(fh.read())
+    else:
+        out.write("@HD\tVN:1.0\tSO:unsorted\n")
+        for nm, ln in zip(idx.contig_names, idx.contig_len):
+            out.write(f"@SQ\tSN:{nm}\tLN:{int(ln)}\n")
+        if read_group:
+            out.write(f"@RG\tID:{read_group[0]}\tSM:{read_group[-1]}\n")
+        out.write(f"@PG\tID:gmapper\tVN:{VERSION}\tCL:{cmdline}\n")
+
+    pcfg = None
+    if pair_mode != 0:
+        pcfg = PairedConfig(pair_mode=pair_mode,
+                            min_insert_size=isize_min,
+                            max_insert_size=isize_max,
+                            insert_size_mean=insert_size_mean,
+                            insert_size_stddev=insert_size_stddev)
+        if hasattr(pcfg, "improper_mappings"):
+            pcfg.improper_mappings = not no_improper
+        mapper = PairedMapper(idx, cfg, pcfg)
+    else:
+        mapper = Mapper(idx, cfg)
+
+    def trim_rec(rec):
+        if trim_front or trim_end:
+            rec.seq = rec.seq[trim_front:len(rec.seq) - trim_end]
+            if rec.qual:
+                rec.qual = rec.qual[trim_front:len(rec.qual) - trim_end]
+        return rec
+
+    def rec_ok(rec):
+        if rec.qual and not cfg.ignore_qvs and not no_qv_check:
+            for c in rec.qual:
+                qv = ord(c) - cfg.qual_delta
+                if qv < -10 or qv > 50:
+                    log(f"The qv-offset might be set incorrectly! qv {qv} "
+                        f"observed under PHRED+{cfg.qual_delta}.")
+                    sys.exit(1)
+        if rec.qual and not cfg.ignore_qvs and min_avg_qv >= 0:
+            avg = sum(ord(c) - cfg.qual_delta for c in rec.qual) / \
+                max(len(rec.qual), 1)
+            if avg < min_avg_qv:
+                return False
+        return True
+
+    n_reads = 0
+    n_matched = 0
+    isizes: list[int] = []
+    un_recs: list = []
+    al_recs: list = []
+    t_map0 = time.time()
+
+    def reads_stream():
+        if up_file:
+            it1 = fastx.iter_reads(up_file, fastq=fastq)
+            it2 = fastx.iter_reads(down_file, fastq=fastq)
+            for r1 in it1:
+                r2 = next(it2, None)
+                if r2 is None:
+                    break
+                yield r1
+                yield r2
+        else:
+            for rf in reads_files:
+                log(f"- Processing read file [{rf}]")
+                yield from fastx.iter_reads(rf, fastq=fastq)
+
+    stream = reads_stream()
+    while True:
+        batch = []
+        for rec in stream:
+            batch.append(trim_rec(rec))
+            if len(batch) >= batch_size:
+                break
+        if not batch:
+            break
+        if pair_mode != 0:
+            if len(batch) % 2:
+                log("warning: odd number of reads in paired mode; "
+                    "dropping the last one")
+                batch.pop()
+            pairs = []
+            for i in range(0, len(batch), 2):
+                r1, r2 = batch[i], batch[i + 1]
+                if not (rec_ok(r1) and rec_ok(r2)):
+                    continue
+                pairs.append(((r1.name, r1.seq, r1.qual),
+                              (r2.name, r2.seq, r2.qual)))
+            results = mapper.map_pair_batch(pairs)
+            for pr in results:
+                n_reads += 2
+                got = bool(pr.paired_hits or pr.unpaired_hits)
+                n_matched += 2 if got else 0
+                if x_isize_hist:
+                    for _fh1, _fh2, isz in pr.paired_hits:
+                        isizes.append(isz)
+                for rec in mapper.sam_records_pair(pr):
+                    out.write(rec.line() + "\n")
+        else:
+            triples = [(r.name, r.seq, r.qual) for r in batch if rec_ok(r)]
+            results = mapper.map_batch(triples)
+            for re_e, hits in results:
+                n_reads += 1
+                if hits:
+                    n_matched += 1
+                    if al_file:
+                        al_recs.append(re_e)
+                elif un_file:
+                    un_recs.append(re_e)
+                for rec in mapper.sam_records(re_e, hits):
+                    out.write(rec.line() + "\n")
+        if progress and n_reads and n_reads % progress < batch_size:
+            el = time.time() - t_map0
+            log(f"- Processed {n_reads} reads "
+                f"({n_reads / max(el, 1e-9):.0f} reads/s)")
+
+    dt = time.time() - t_map0
+    if un_file:
+        fastx.write_fastq(un_file, [r for r in un_recs]) if fastq else \
+            fastx.write_fasta(un_file, un_recs)
+    if al_file:
+        fastx.write_fastq(al_file, [r for r in al_recs]) if fastq else \
+            fastx.write_fasta(al_file, al_recs)
+
+    if x_isize_hist and isizes:
+        arr = np.array(isizes)
+        log(f"insert-size histogram: n={len(arr)} mean={arr.mean():.1f} "
+            f"stddev={arr.std():.1f}")
+        hist, edges = np.histogram(arr, bins=20)
+        for h, e0, e1 in zip(hist, edges[:-1], edges[1:]):
+            log(f"  [{e0:7.0f},{e1:7.0f}) {h}")
+
+    log("")
+    log("Statistics:")
+    log(f"    Reads processed:   {n_reads}")
+    log(f"    Reads matched:     {n_matched}")
+    log(f"    Time (mapping):    {dt:.2f}s "
+        f"({n_reads / max(dt, 1e-9):.1f} reads/s, "
+        f"{n_reads / max(dt, 1e-9) * 3600:.0f} reads/hr)")
+    if d_stats and hasattr(mapper, "stats"):
+        for k, v in mapper.stats.items():
+            log(f"    {k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -225,6 +225,8 @@ class Mapper:
     def _candidates(self, entries, opts) -> cb.HitBatch:
         parts = []
         for st in (0, 1):
+            if not (self.cfg.strand_mask >> st) & 1:
+                continue
             ab = cb.anchors_batch(
                 entries, self.index, st,
                 collapse=opts.anchor_list.collapse,
@@ -232,9 +234,8 @@ class Mapper:
                 use_region_counts=opts.anchor_list.use_region_counts)
             parts.append(cb.hit_list_batch(entries, self.index, ab,
                                            opts.hit_list, self.cfg))
-        h0, h1 = parts
         merged = cb.HitBatch(**{
-            f: np.concatenate([getattr(h0, f), getattr(h1, f)])
+            f: np.concatenate([getattr(h, f) for h in parts])
             for f in ("rid", "st", "cn", "g_off", "w_len",
                       "score_window_gen", "matches", "score_max",
                       "anchor_x", "anchor_y", "anchor_length",
@@ -572,8 +573,10 @@ class Mapper:
                     reverse_strand=fh.gen_st == 1,
                     score_full=fh.score_full,
                     mapq_v=fh.mqv if cfg.compute_mapping_qualities else 255,
-                    z0=fh.z0 if cfg.compute_mapping_qualities else None,
-                    z1=fh.z1 if cfg.compute_mapping_qualities else None,
+                    z0=(fh.z0 if cfg.compute_mapping_qualities
+                        and not cfg.all_contigs else None),
+                    z1=(fh.z1 if cfg.compute_mapping_qualities
+                        and not cfg.all_contigs else None),
                     read_len=re.read_len))
             return recs
         for fh in sel:
@@ -592,8 +595,10 @@ class Mapper:
                 reverse_strand=fh.gen_st == 1,
                 score_full=fh.score_full,
                 mapq_v=fh.mqv if cfg.compute_mapping_qualities else 255,
-                z0=fh.z0 if cfg.compute_mapping_qualities else None,
-                z1=fh.z1 if cfg.compute_mapping_qualities else None,
+                z0=(fh.z0 if cfg.compute_mapping_qualities
+                    and not cfg.all_contigs else None),
+                z1=(fh.z1 if cfg.compute_mapping_qualities
+                    and not cfg.all_contigs else None),
                 qual_delta=cfg.qual_delta,
                 read_len=re.read_len))
         return recs

@@ -107,6 +107,17 @@ class MapperConfig:
     ignore_qvs: bool = False          # gmapper.h:105
     indel_taboo_len: int = 0          # DEF_INDEL_TABOO_LEN
     qual_vector_offset: int = 0       # gmapper.h:79 (CS: qv for primer base?)
+    # user-settable thresholds (-r / -v / -h); <0 = absolute, >=0 = pct
+    window_gen_threshold: float = 55.0        # DEF_WINDOW_GEN_THRESHOLD
+    sw_vect_threshold: float | None = None    # default: 47 (cs) / full (ls)
+    sw_full_threshold: float = 50.0           # DEF_SW_FULL_THRESHOLD
+    strand_mask: int = 3              # bit 0: + strand, bit 1: - strand
+    all_contigs: bool = False         # suppresses Z-field emission
+
+    def vect_threshold(self) -> float:
+        if self.sw_vect_threshold is not None:
+            return self.sw_vect_threshold
+        return 47.0 if self.colour_space else self.sw_full_threshold
     anchor_list_big_gap: int = 1024
     # candidate-generation capacity knobs (TPU fixed-shape budgets)
     max_anchors_per_strand: int = 4096
@@ -121,12 +132,13 @@ class MapperConfig:
             self.match_mode_unpaired == 2 and self.use_regions)
         opts.hit_list.match_mode = self.match_mode_unpaired
         opts.hit_list.gapless = self.gapless
+        opts.hit_list.threshold = self.window_gen_threshold
         opts.pass1.gapless = self.gapless
         opts.pass1.min_matches = self.match_mode_unpaired
         opts.pass1.num_outputs = 3 * self.num_outputs
         opts.pass1.window_overlap = self.window_overlap
+        opts.pass1.threshold = self.vect_threshold()
         opts.pass2.num_outputs = self.num_outputs
         opts.pass2.strata = self.strata
-        if self.colour_space:
-            opts.pass1.threshold = 47.0   # DEF_SW_VECT_THRESHOLD
+        opts.pass2.threshold = self.sw_full_threshold
         return [opts]

@@ -169,6 +169,8 @@ class PairedMapper(Mapper):
         for side, entries in ((0, entries1), (1, entries2)):
             per = []
             for st in (0, 1):
+                if not (cfg.strand_mask >> st) & 1:
+                    continue
                 ab = cb.anchors_batch(
                     entries, self.index, st,
                     collapse=True,
@@ -176,9 +178,8 @@ class PairedMapper(Mapper):
                     use_region_counts=ropts["use_region_counts"])
                 per.append(cb.hit_list_batch(entries, self.index, ab,
                                              ropts["hit_list"], cfg))
-            h0, h1 = per
             hits[side] = cb.HitBatch(**{
-                f: np.concatenate([getattr(h0, f), getattr(h1, f)])
+                f: np.concatenate([getattr(h, f) for h in per])
                 for f in ("rid", "st", "cn", "g_off", "w_len",
                           "score_window_gen", "matches", "score_max",
                           "anchor_x", "anchor_y", "anchor_length",
@@ -229,13 +230,13 @@ class PairedMapper(Mapper):
         """Default paired option set (gmapper.c:2634-2716)."""
         cfg = self.cfg
         mm = self.pcfg.match_mode
-        sw_vect_threshold = 47.0 if cfg.colour_space else 50.0
-        sw_full_threshold = 50.0
+        sw_vect_threshold = cfg.vect_threshold()
+        sw_full_threshold = cfg.sw_full_threshold
         hl = __import__("shrimp_tpu.pipeline.options",
                         fromlist=["HitListOptions"]).HitListOptions(
             gapless=cfg.gapless,
             match_mode=(2 if mm == 4 else 3 if mm == 3 else 1),
-            threshold=55.0)
+            threshold=cfg.window_gen_threshold)
         return {
             "pairing": {
                 "pass1_threshold": sw_vect_threshold,
@@ -750,13 +751,14 @@ class PairedMapper(Mapper):
                 sel.append(int(rows_live[n]))
                 cnt[r] = c + 1
 
-        res = self._run_full_sw(entries, istrand, hb, sel, 50.0)
+        res = self._run_full_sw(entries, istrand, hb, sel,
+                                cfg.sw_full_threshold)
         by_read = {}
         for row, fh in res.items():
             if fh is None or fh.score_full == 0:
                 continue
             smax = fh.score_max
-            if fh.score_full < abs_or_pct(50.0, smax):
+            if fh.score_full < abs_or_pct(cfg.sw_full_threshold, smax):
                 continue
             fh.pass2_key = (100000 * fh.score_full) // smax
             by_read.setdefault(int(hb.rid[row]), []).append(fh)

@@ -1,0 +1,62 @@
+"""gmapper CLI surface tests: parity with goldens through the command line,
+index save/load round trip, and option handling."""
+
+import os
+import subprocess
+import sys
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def run_cli(args, **kw):
+    env = dict(os.environ)
+    return subprocess.run(
+        [sys.executable, "-m", "shrimp_tpu.gmapper"] + args,
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)), **kw)
+
+
+def body(sam_text):
+    return [l for l in sam_text.splitlines() if l and not l.startswith("@")]
+
+
+def golden_body(name):
+    with open(os.path.join(GOLDEN, name)) as fh:
+        return [l.rstrip("\n") for l in fh if not l.startswith("@")]
+
+
+def test_cli_ls_unpaired_parity():
+    r = run_cli(["--mode", "ls", "-Q",
+                 os.path.join(GOLDEN, "golden_reads.fq"),
+                 os.path.join(GOLDEN, "golden_genome.fa")])
+    assert r.returncode == 0, r.stderr
+    assert body(r.stdout) == golden_body("golden_unpaired.sam")
+
+
+def test_cli_cs_paired_parity():
+    r = run_cli(["--mode", "cs", "-Q", "-p", "opp-in",
+                 os.path.join(GOLDEN, "pairs_cs_opp-in.fq"),
+                 os.path.join(GOLDEN, "golden_genome.fa")])
+    assert r.returncode == 0, r.stderr
+    assert body(r.stdout) == golden_body("golden_cs_opp-in.sam")
+
+
+def test_cli_save_load_roundtrip(tmp_path):
+    prefix = str(tmp_path / "idx")
+    r = run_cli(["-S", prefix, os.path.join(GOLDEN, "golden_genome.fa")])
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["-L", prefix, "-Q", os.path.join(GOLDEN, "golden_reads.fq")])
+    assert r.returncode == 0, r.stderr
+    assert body(r.stdout) == golden_body("golden_unpaired.sam")
+
+
+def test_cli_rejects_unsupported():
+    r = run_cli(["--shrimp-format", "x.fa", "y.fa"])
+    assert r.returncode == 1
+    assert "not supported" in r.stderr
+
+
+def test_cli_help():
+    r = run_cli(["-?"])
+    assert r.returncode == 0
+    assert "usage" in r.stderr
