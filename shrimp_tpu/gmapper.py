@@ -53,8 +53,6 @@ _LONG = [
 
 _UNSUPPORTED = {
     "-P": "pretty-print output", "--pretty": "pretty-print output",
-    "-R": "print-reads output", "--print-reads": "print-reads output",
-    "--shrimp-format": "legacy SHRiMP output format",
     "--bfast": "bfast-style quality recalibration",
     "--paired-options": "experimental option-set strings",
     "--unpaired-options": "experimental option-set strings",
@@ -140,6 +138,8 @@ def main(argv: list[str] | None = None) -> int:
     extra_sam_fields = False
     no_improper = False
     mirna = False
+    shrimp_format = False
+    rflag = False
 
     score_updates: dict[str, int] = {}
 
@@ -217,7 +217,11 @@ def main(argv: list[str] | None = None) -> int:
         elif o in ("-F", "--positive"):
             cfg.strand_mask = 1
         elif o in ("-E", "--sam"):
-            pass                      # SAM is this build's only output format
+            shrimp_format = False
+        elif o == "--shrimp-format":
+            shrimp_format = True
+        elif o in ("-R", "--print-reads"):
+            rflag = True
         elif o in ("-Q", "--fastq"):
             fastq = True
         elif o in ("-T", "--rev-tiebreak"):
@@ -393,10 +397,13 @@ def main(argv: list[str] | None = None) -> int:
     # ----- SAM header -----
     out = sys.stdout
     cmdline = " ".join(argv)
-    if sam_header_file:
+    if shrimp_format:
+        from shrimp_tpu.io import legacy as legacy_mod
+        out.write(legacy_mod.format_line(rflag) + "\n")
+    elif sam_header_file:
         with open(sam_header_file) as fh:
             out.write(fh.read())
-    else:
+    elif not shrimp_format:
         out.write("@HD\tVN:1.0\tSO:unsorted\n")
         for nm, ln in zip(idx.contig_names, idx.contig_len):
             out.write(f"@SQ\tSN:{nm}\tLN:{int(ln)}\n")
@@ -490,8 +497,12 @@ def main(argv: list[str] | None = None) -> int:
                 if x_isize_hist:
                     for _fh1, _fh2, isz in pr.paired_hits:
                         isizes.append(isz)
-                for rec in mapper.sam_records_pair(pr):
-                    out.write(rec.line() + "\n")
+                if shrimp_format:
+                    for line in mapper.legacy_records_pair(pr, rflag):
+                        out.write(line + "\n")
+                else:
+                    for rec in mapper.sam_records_pair(pr):
+                        out.write(rec.line() + "\n")
         else:
             triples = [(r.name, r.seq, r.qual) for r in batch if rec_ok(r)]
             results = mapper.map_batch(triples)
@@ -503,8 +514,12 @@ def main(argv: list[str] | None = None) -> int:
                         al_recs.append(re_e)
                 elif un_file:
                     un_recs.append(re_e)
-                for rec in mapper.sam_records(re_e, hits):
-                    out.write(rec.line() + "\n")
+                if shrimp_format:
+                    for line in mapper.legacy_records(re_e, hits, rflag):
+                        out.write(line + "\n")
+                else:
+                    for rec in mapper.sam_records(re_e, hits):
+                        out.write(rec.line() + "\n")
         if progress and n_reads and n_reads % progress < batch_size:
             el = time.time() - t_map0
             log(f"- Processed {n_reads} reads "

@@ -535,6 +535,54 @@ class Mapper:
         return dedup
 
     # ------------------------------------------------------------------
+    def render_hit_alignment(self, re: cand.ReadEntry,
+                             fh: FinalHit) -> tuple[str, str]:
+        """dbalign/qralign strings for one hit (rendered lazily; CS hits
+        carry them from the CS traceback already)."""
+        if fh.qralign:
+            return fh.dbalign, fh.qralign
+        plane = self.genome_rc if fh.gen_st == 1 else self.index.genome
+        lo = int(self.index.contig_offsets[fh.cn]) + fh.g_off
+        window = plane[lo:lo + fh.w_len]
+        res = sw_full.SWAlignment(
+            score=fh.sw_score, read_start=fh.read_start,
+            genome_start=fh.genome_start, ops=fh.ops)
+        sw_full.render_alignment(res, window, re.read[0])
+        return res.dbalign, res.qralign
+
+    def legacy_record(self, re: cand.ReadEntry, fh: FinalHit,
+                      include_read: bool) -> str:
+        """One legacy SHRiMP-format line (hit_output !Eflag branch,
+        gmapper/output.c:272-295)."""
+        from shrimp_tpu.io import legacy
+        dbal, qral = self.render_hit_alignment(re, fh)
+        read_seq = None
+        if include_read:
+            if self.cfg.colour_space:
+                read_seq = (dna.decode([re.initbp])
+                            + dna.decode(re.read[0], dna.COLOUR_SPACE))
+            else:
+                read_seq = dna.decode(re.read[0])
+        return legacy.output_normal(
+            re.name, self.index.contig_names[fh.cn],
+            genome_start0=fh.g_off + fh.genome_start, gmapped=fh.gmapped,
+            read_start0=fh.read_start, rmapped=fh.rmapped,
+            read_length=re.read_len, score=fh.score_full,
+            dbalign=dbal, qralign=qral,
+            genome_len=int(self.index.contig_len[fh.cn]),
+            revcmpl=fh.gen_st == 1, read_seq=read_seq)
+
+    def legacy_records(self, re: cand.ReadEntry, hits: list[FinalHit],
+                       include_read: bool = False) -> list[str]:
+        if not hits:
+            return [f">{re.name}"] if self.cfg.sam_unaligned else []
+        sel = hits
+        if self.cfg.single_best_mapping and self.cfg.compute_mapping_qualities:
+            best = max(range(len(hits)), key=lambda i: hits[i].mqv)
+            sel = [hits[best]]
+        return [self.legacy_record(re, fh, include_read) for fh in sel]
+
+    # ------------------------------------------------------------------
     def sam_records(self, re: cand.ReadEntry,
                     hits: list[FinalHit]) -> list[sam.SamRecord]:
         """read_output + hit_output for one read."""

@@ -922,6 +922,22 @@ class PairedMapper(Mapper):
                 recs.append(rec)
         return recs
 
+    def legacy_records_pair(self, pr: PairResult,
+                            include_read: bool = False) -> list[str]:
+        """Legacy-format lines for one pair (hit_output !Eflag branch via
+        readpair_output)."""
+        re = pr.re
+        lines: list[str] = []
+        for fh1, fh2, _isz in pr.paired_hits:
+            lines.append(self.legacy_record(re[0], fh1, include_read))
+            lines.append(self.legacy_record(re[1], fh2, include_read))
+        for nip, fh in pr.unpaired_hits:
+            mapped = self.legacy_record(re[nip], fh, include_read)
+            unmapped = f">{re[1 - nip].name}"
+            lines.extend([mapped, unmapped] if nip == 0
+                         else [unmapped, mapped])
+        return lines
+
     def _common_qname(self, name1: str, name2: str) -> str:
         """Common-prefix qname trimming (hit_output, output.c:371-387)."""
         i = 0
