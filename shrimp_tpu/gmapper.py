@@ -52,7 +52,6 @@ _LONG = [
 ]
 
 _UNSUPPORTED = {
-    "-P": "pretty-print output", "--pretty": "pretty-print output",
     "--bfast": "bfast-style quality recalibration",
     "--paired-options": "experimental option-set strings",
     "--unpaired-options": "experimental option-set strings",
@@ -140,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
     mirna = False
     shrimp_format = False
     rflag = False
+    pflag = False
 
     score_updates: dict[str, int] = {}
 
@@ -222,6 +222,8 @@ def main(argv: list[str] | None = None) -> int:
             shrimp_format = True
         elif o in ("-R", "--print-reads"):
             rflag = True
+        elif o in ("-P", "--pretty"):
+            pflag = True
         elif o in ("-Q", "--fastq"):
             fastq = True
         elif o in ("-T", "--rev-tiebreak"):
@@ -515,7 +517,8 @@ def main(argv: list[str] | None = None) -> int:
                 elif un_file:
                     un_recs.append(re_e)
                 if shrimp_format:
-                    for line in mapper.legacy_records(re_e, hits, rflag):
+                    for line in mapper.legacy_records(re_e, hits, rflag,
+                                                      pretty=pflag):
                         out.write(line + "\n")
                 else:
                     for rec in mapper.sam_records(re_e, hits):

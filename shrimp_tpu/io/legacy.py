@@ -223,6 +223,94 @@ def format_line(include_read: bool = False) -> str:
     return s
 
 
+def output_pretty(*, genome_plane, genome_len: int, genome_start0: int,
+                  gmapped: int, read_start0: int, rmapped: int,
+                  read_len: int, dbalign: str, qralign: str,
+                  revcmpl: bool, colour_space: bool,
+                  read_text_cs: str | None = None) -> str:
+    """Port of output_pretty (common/output.c:125-267): the G/match/R (or
+    G/match/T/R in colour space) block with flanking genome context.
+
+    genome_plane: int8 codes of the strand-appropriate contig plane;
+    read_text_cs: primer+colours text for the CS R: line."""
+    from shrimp_tpu import dna
+
+    genome_start = genome_start0
+    genome_end = genome_start0 + gmapped - 1
+    if revcmpl:
+        idx_start = genome_len - genome_end - 1
+        idx_end = genome_len - genome_start - 1
+    else:
+        idx_start = genome_start
+        idx_end = genome_end
+    read_start = read_start0
+    read_end = read_start0 + rmapped - 1
+
+    gpre = lspre = mpre = ""
+    gpost = lspost = ""
+    if read_start > 0:
+        chars = []
+        for j in range(read_start):
+            if genome_start + j > read_start:
+                chars.append(chr(dna.LS_CHARS[
+                    int(genome_plane[genome_start - read_start + j]) & 15]))
+            else:
+                chars.append("-")
+        gpre = "".join(chars)
+        lspre = "-" * read_start
+        mpre = " " * read_start
+    if read_end < read_len - 1:
+        chars = []
+        for j in range(read_len - read_end - 1):
+            if genome_end + 1 + j < genome_len:
+                chars.append(chr(dna.LS_CHARS[
+                    int(genome_plane[genome_end + 1 + j]) & 15]))
+            else:
+                chars.append("-")
+        gpost = "".join(chars)
+        lspost = "-" * (read_len - read_end - 1)
+
+    lines = []
+    g_first = idx_end + 1 if revcmpl else idx_start + 1
+    g_last = idx_start + 1 if revcmpl else idx_end + 1
+    lines.append(f"G: {g_first:10d}    {gpre}{dbalign}{gpost}    "
+                 f"{g_last:<10d}")
+    marks = []
+    for dc, qc in zip(dbalign, qralign):
+        if dc == qc and dc != "-":
+            marks.append("|")
+        elif dc == qc.upper():
+            marks.append("X")
+        elif qc.islower():
+            marks.append("x")
+        else:
+            marks.append(" ")
+    lines.append(f"{'':16s} {mpre}" + "".join(marks))
+    if colour_space:
+        lines.append(f"T: {'':10s}    {lspre}{qralign}{lspost}")
+        rchars = [read_text_cs[0]]
+        rest = read_text_cs[1:]
+        ri = 0
+        for j in range(read_start):
+            rchars.append(rest[ri])
+            ri += 1
+        j = 0
+        while ri < len(rest):
+            if j < len(qralign) and qralign[j] == "-":
+                rchars.append("-")
+            else:
+                rchars.append(rest[ri])
+                ri += 1
+            if j < len(qralign):
+                j += 1
+        lines.append(f"R: {read_start + 1:10d}   " + "".join(rchars)
+                     + f"    {read_end + 1:<10d}")
+    else:
+        lines.append(f"R: {read_start + 1:10d}    {lspre}{qralign}{lspost}"
+                     f"    {read_end + 1:<10d}")
+    return "\n".join(lines) + "\n"
+
+
 def output_normal(readname: str, contigname: str, *, genome_start0: int,
                   gmapped: int, read_start0: int, rmapped: int,
                   read_length: int, score: int, dbalign: str, qralign: str,
