@@ -51,7 +51,7 @@ def test_cli_save_load_roundtrip(tmp_path):
 
 
 def test_cli_rejects_unsupported():
-    r = run_cli(["--shrimp-format", "x.fa", "y.fa"])
+    r = run_cli(["--save-mmap", "z", "x.fa", "y.fa"])
     assert r.returncode == 1
     assert "not supported" in r.stderr
 
