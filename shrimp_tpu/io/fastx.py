@@ -72,10 +72,70 @@ def detect_fastq(path: str) -> bool:
             fh.close()
 
 
+def _iter_reads_native(path: str, fastq: bool):
+    """Bulk record indexing through the native C scanner; returns None when
+    the library is unavailable or the file shape needs the general parser."""
+    import ctypes
+
+    from shrimp_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if not data:
+        return iter(())
+    c_ll = ctypes.c_longlong
+    cnt = lib.fastx_count_records(data, len(data), 1 if fastq else 0)
+    if cnt <= 0:
+        return iter(())
+    width = 6 if fastq else 4
+    spans = np.empty((cnt, width), np.int64)
+    ptr = spans.ctypes.data_as(ctypes.POINTER(c_ll))
+    if fastq:
+        got = lib.fastx_index_fastq(data, len(data), ptr, cnt)
+    else:
+        got = lib.fastx_index_fasta(data, len(data), ptr, cnt)
+    if got < 0:
+        return None                  # malformed/multi-line: general parser
+
+    def gen():
+        text = data
+        for i in range(int(got)):
+            row = spans[i]
+            name = text[row[0]:row[1]].decode("ascii")
+            if fastq:
+                seq = text[row[2]:row[3]].decode("ascii")
+                qual = text[row[4]:row[5]].decode("ascii")
+                yield ReadRecord(name=name, seq=seq, qual=qual)
+            else:
+                seq = text[row[2]:row[3]].decode("ascii")
+                seq = seq.replace("\n", "").replace("\r", "")
+                yield ReadRecord(name=name, seq=seq)
+
+    return gen()
+
+
 def iter_reads(path: str, fastq: bool | None = None):
-    """Yield ReadRecord from a FASTA or FASTQ file (gzip ok)."""
+    """Yield ReadRecord from a FASTA or FASTQ file (gzip ok).
+
+    Plain (non-gzip) files go through the native C record indexer when
+    available (shrimp_tpu/native); gzip and odd shapes use the general
+    Python parser."""
     if fastq is None:
         fastq = detect_fastq(path)
+    if path != "-":
+        try:
+            with open(path, "rb") as probe:
+                is_gz = probe.read(2) == b"\x1f\x8b"
+        except OSError:
+            is_gz = True
+        if not is_gz:
+            it = _iter_reads_native(path, fastq)
+            if it is not None:
+                yield from it
+                return
     fh = _open_maybe_gz(path)
     try:
         if fastq:
