@@ -158,6 +158,38 @@ def prepare_read(name: str, seq: str, qual: str | None,
         crossover_score=crossover_score, read_ls4=read_ls4)
 
 
+def prepare_reads(reads: list[tuple[str, str, str | None]],
+                  cfg: MapperConfig, min_seed_span: int) -> list[ReadEntry]:
+    """Batch prepare_read: one vectorized codec pass over all letter-space
+    reads (colour-space reads keep the per-read path — they carry per-read
+    decode chains and crossover arrays)."""
+    if cfg.colour_space:
+        return [prepare_read(nm, sq, ql, cfg, min_seed_span)
+                for nm, sq, ql in reads]
+    blob = "".join(sq for _, sq, _ in reads).encode("ascii")
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    codes_all = dna.CHAR_TO_CODE[raw]
+    if np.any(codes_all < 0):
+        # rare invalid characters: fall back for exact error behaviour
+        return [prepare_read(nm, sq, ql, cfg, min_seed_span)
+                for nm, sq, ql in reads]
+    lens = np.array([len(sq) for _, sq, _ in reads], np.int64)
+    offs = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    wl = cfg.window_len
+    out = []
+    for i, (nm, sq, ql) in enumerate(reads):
+        fw = codes_all[offs[i]:offs[i + 1]]
+        rc = dna.COMPLEMENT[fw][::-1]
+        rl = int(lens[i])
+        out.append(ReadEntry(
+            name=nm, seq=sq, qual=ql, read=[fw, rc], read_len=rl,
+            window_len=int(abs_or_pct(wl, rl)),
+            max_n_kmers=max(rl - min_seed_span + 1, 0),
+            min_kmer_pos=0, initbp=-1))
+    return out
+
+
 def read_mapidxs(re: ReadEntry, idx: GenomeIndex, st: int) -> list[np.ndarray]:
     """Spaced-kmer indices per seed for one strand (read_get_mapidxs,
     mapping.c:38-95).  Returns, per seed, uint32[n_kmer_starts] with -1

@@ -194,8 +194,7 @@ class Mapper:
         cfg = self.cfg
         opts = (options or cfg.unpaired_options())[0]
 
-        entries = [cand.prepare_read(nm, sq, ql, cfg, self.min_seed_span)
-                   for nm, sq, ql in reads]
+        entries = cand.prepare_reads(reads, cfg, self.min_seed_span)
         self.stats["reads"] += len(entries)
         ok = np.array([e.read_len <= cfg.longest_read_len
                        and e.max_n_kmers > 0 for e in entries])
@@ -498,6 +497,20 @@ class Mapper:
             gstart = fh.g_off + fh.genome_start
             return (fh.cn, fh.gen_st,
                     -gstart - fh.rmapped + fh.deletions - fh.insertions)
+
+        if len(finals) == 1:
+            dedup = finals
+            if opts.pass2.strata:
+                pass                      # single hit: strata is a no-op
+            if cfg.max_alignments and 1 > cfg.max_alignments:
+                return []
+            if cfg.compute_mapping_qualities:
+                mqvs, z1 = mapq.compute_unpaired_mqv(
+                    [finals[0].posterior])
+                finals[0].mqv = mqvs[0]
+                finals[0].z0 = finals[0].posterior
+                finals[0].z1 = z1
+            return finals
 
         def dedup_by(hits: list[FinalHit], keyf) -> list[FinalHit]:
             hits = sorted(hits, key=keyf)
