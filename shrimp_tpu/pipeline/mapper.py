@@ -261,8 +261,8 @@ class Mapper:
         rid = hb.rid[idxs]
         st = hb.st[idxs]
 
-        G = _round_up(max(1, int(hb.w_len[idxs].max())), 64)
-        R = _round_up(max(e.read_len for e in entries), 64)
+        G = _round_up(max(1, int(hb.w_len[idxs].max())), 32)
+        R = _round_up(max(e.read_len for e in entries), 32)
         NB = _bucket_rows(len(idxs))
         scores = self._vector_scores(
             entries, rid, st, hb.cn[idxs], hb.g_off[idxs], hb.w_len[idxs],
@@ -348,8 +348,8 @@ class Mapper:
         ax = np.where(rev_mask, -ax + (w_len - 1) - (al - 1) - (aw - 1), ax)
         ay = np.where(rev_mask, -ay + (rlen - 1) - (al - 1) + (aw - 1), ay)
 
-        G = _round_up(max(1, int(w_len.max())), 64)
-        R = _round_up(max(e.read_len for e in entries), 64)
+        G = _round_up(max(1, int(w_len.max())), 32)
+        R = _round_up(max(e.read_len for e in entries), 32)
         NB = _bucket_rows(N)
         gb_f = self._gather_windows(self.index.genome, cn, g_off, w_len, G)
         gb_r = self._gather_windows(self.genome_rc, cn, g_off, w_len, G)

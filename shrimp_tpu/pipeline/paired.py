@@ -334,8 +334,8 @@ class PairedMapper(Mapper):
         idxs = np.flatnonzero(keep)
         if not len(idxs):
             return scores, true_scores
-        G = _round_up(max(1, int(hb.w_len[idxs].max())), 64)
-        R = _round_up(max(e.read_len for e in entries), 64)
+        G = _round_up(max(1, int(hb.w_len[idxs].max())), 32)
+        R = _round_up(max(e.read_len for e in entries), 32)
         NB = _bucket_rows(len(idxs))
         sc = self._vector_scores(
             entries, hb.rid[idxs], hb.st[idxs], hb.cn[idxs], hb.g_off[idxs],
@@ -445,8 +445,8 @@ class PairedMapper(Mapper):
         ax = np.where(rev_mask, -ax + (w_len - 1) - (al - 1) - (aw - 1), ax)
         ay = np.where(rev_mask, -ay + (rlen - 1) - (al - 1) + (aw - 1), ay)
 
-        G = _round_up(max(1, int(w_len.max())), 64)
-        R = _round_up(max(e.read_len for e in entries), 64)
+        G = _round_up(max(1, int(w_len.max())), 32)
+        R = _round_up(max(e.read_len for e in entries), 32)
         NB = _bucket_rows(N)
         gb_f = self._gather_windows(self.index.genome, cn, g_off, w_len, G)
         gb_r = self._gather_windows(self.genome_rc, cn, g_off, w_len, G)
@@ -696,8 +696,8 @@ class PairedMapper(Mapper):
         idxs = np.flatnonzero(keep)
         if not len(idxs):
             return {}
-        G = _round_up(max(1, int(hb.w_len[idxs].max())), 64)
-        R = _round_up(max(e.read_len for e in entries), 64)
+        G = _round_up(max(1, int(hb.w_len[idxs].max())), 32)
+        R = _round_up(max(e.read_len for e in entries), 32)
         NB = _bucket_rows(len(idxs))
         sc = self._vector_scores(
             entries, hb.rid[idxs], hb.st[idxs], hb.cn[idxs], hb.g_off[idxs],
