@@ -49,9 +49,10 @@ def main():
 
     mapper = Mapper(idx, MapperConfig(qual_delta=64))
 
-    batch = 8192
+    batch = 4096
     # warmup (JIT compile) at full batch shape
-    mapper.map_batch(reads[:batch])
+    for _ in mapper.map_stream(iter(reads[:batch * 2]), batch):
+        pass
 
     best_secs = None
     n_done = 0
@@ -60,11 +61,9 @@ def main():
         t0 = time.time()
         n_done = 0
         n_matched = 0
-        for i in range(0, len(reads), batch):
-            chunk = reads[i:i + batch]
-            out = mapper.map_batch(chunk)
-            n_done += len(chunk)
-            n_matched += sum(1 for _, hits in out if hits)
+        for _, hits in mapper.map_stream(iter(reads), batch):
+            n_done += 1
+            n_matched += 1 if hits else 0
         secs = time.time() - t0
         best_secs = secs if best_secs is None else min(best_secs, secs)
     secs = best_secs

@@ -144,7 +144,8 @@ class Mapper:
         return out.astype(np.int8)
 
     def _vector_scores(self, entries, rid, st, cn, g_off_pos, w_len,
-                       istrand, G: int, R: int, NB: int) -> np.ndarray:
+                       istrand, G: int, R: int, NB: int,
+                       sync: bool = True):
         """Pass-1 vector-SW scores for hit rows (g_off in pos-strand frame).
 
         LS scores read[st] against the forward genome; CS first applies the
@@ -158,8 +159,10 @@ class Mapper:
             rb = self._reads_matrix(entries, rid, st, R)
             gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
             rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
-            return np.asarray(sw_vector.sw_score_batch(gb, rb, cfg.params)
-                              )[:len(rid)].astype(np.int64)
+            dev = sw_vector.sw_score_batch(gb, rb, cfg.params)
+            if not sync:
+                return dev
+            return np.asarray(dev)[:len(rid)].astype(np.int64)
 
         clen = self.index.contig_len[cn]
         wl = w_len.astype(np.int64)
@@ -183,8 +186,10 @@ class Mapper:
         gb = _pad_rows(g_cs.astype(np.int8), NB, sw_vector.GENOME_PAD)
         rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
         row0 = _pad_rows(row0, NB, sw_vector.GENOME_PAD)
-        return np.asarray(sw_vector.sw_score_batch(
-            gb, rb, cfg.params, genome_row0=row0))[:len(rid)].astype(np.int64)
+        dev = sw_vector.sw_score_batch(gb, rb, cfg.params, genome_row0=row0)
+        if not sync:
+            return dev
+        return np.asarray(dev)[:len(rid)].astype(np.int64)
 
     def map_batch(self, reads: list[tuple[str, str, str | None]],
                   options: list[ReadMappingOptions] | None = None
@@ -221,6 +226,85 @@ class Mapper:
         return list(zip(entries, results))
 
     # ------------------------------------------------------------------
+    def map_stream(self, reads_iter, batch_size: int = 8192,
+                   options: list[ReadMappingOptions] | None = None):
+        """Pipelined mapping over a read stream.
+
+        Yields (ReadEntry, hits) in input order.  Host work (read prep,
+        candidate generation, selection) for one batch overlaps the
+        asynchronous device DP of its neighbours — the reference's
+        OpenMP-overlap analogue with the chip as the second 'thread'."""
+        cfg = self.cfg
+        opts = (options or cfg.unpaired_options())[0]
+
+        def stage0(reads):
+            entries = cand.prepare_reads(reads, cfg, self.min_seed_span)
+            self.stats["reads"] += len(entries)
+            ok = np.array([e.read_len <= cfg.longest_read_len
+                           and e.max_n_kmers > 0 for e in entries])
+            self.stats["reads_dropped"] += int((~ok).sum())
+            live = [e for e, o in zip(entries, ok) if o]
+            live_map = np.flatnonzero(ok)
+            hb = self._candidates(live, opts) if live else None
+            p1 = (self._pass1_dispatch(live, hb, opts)
+                  if hb is not None and hb.n else None)
+            if hb is not None and hb.n:
+                self.stats["pass1_windows"] += hb.n
+            return {"entries": entries, "live": live, "live_map": live_map,
+                    "hb": hb, "p1": p1}
+
+        def stage1(st0):
+            if st0["p1"] is None:
+                st0["sel"] = None
+                st0["p2"] = None
+                return st0
+            sel = self._pass1_finish(st0["live"], st0["hb"], opts, st0["p1"])
+            st0["sel"] = sel
+            st0["p2"] = (self._pass2_dispatch(st0["live"], sel)
+                         if sel is not None else None)
+            if sel is not None:
+                self.stats["pass2_windows"] += len(sel["rid"])
+            return st0
+
+        def stage2(st0):
+            entries = st0["entries"]
+            results = [[] for _ in entries]
+            if st0["p2"] is not None:
+                per_read = self._pass2_finish(st0["live"], st0["sel"], opts,
+                                              st0["p2"])
+                for li, hits in per_read.items():
+                    results[st0["live_map"][li]] = hits
+            for hits in results:
+                if hits:
+                    self.stats["reads_matched"] += 1
+                    self.stats["total_matches"] += len(hits)
+            return list(zip(entries, results))
+
+        in_p1 = None     # batch with pass1 dispatched
+        in_p2 = None     # batch with pass2 dispatched
+        batch: list = []
+        for rec in reads_iter:
+            batch.append(rec)
+            if len(batch) < batch_size:
+                continue
+            nxt = stage0(batch)
+            batch = []
+            if in_p2 is not None:
+                yield from stage2(in_p2)
+            in_p2 = stage1(in_p1) if in_p1 is not None else None
+            in_p1 = nxt
+        if batch:
+            nxt = stage0(batch)
+            if in_p2 is not None:
+                yield from stage2(in_p2)
+            in_p2 = stage1(in_p1) if in_p1 is not None else None
+            in_p1 = nxt
+        if in_p2 is not None:
+            yield from stage2(in_p2)
+        if in_p1 is not None:
+            yield from stage2(stage1(in_p1))
+
+    # ------------------------------------------------------------------
     def _candidates(self, entries, opts) -> cb.HitBatch:
         parts = []
         for st in (0, 1):
@@ -249,24 +333,38 @@ class Mapper:
             out[n, :len(codes)] = codes
         return out
 
-    def _pass1(self, entries, hb: cb.HitBatch, opts):
-        """Vector SW scores + overlap suppression + per-read top-k.
-
-        Returns dict of column arrays of the selected hits, or None."""
-        cfg = self.cfg
+    def _pass1_dispatch(self, entries, hb: cb.HitBatch, opts):
+        """Dispatch the pass-1 vector-SW kernel; returns a context whose
+        device handle is still in flight (async JAX dispatch)."""
         keep = hb.matches >= opts.pass1.min_matches
         if not keep.any():
             return None
         idxs = np.flatnonzero(keep)
         rid = hb.rid[idxs]
         st = hb.st[idxs]
-
         G = _round_up(max(1, int(hb.w_len[idxs].max())), 32)
         R = _round_up(max(e.read_len for e in entries), 32)
         NB = _bucket_rows(len(idxs))
-        scores = self._vector_scores(
+        dev = self._vector_scores(
             entries, rid, st, hb.cn[idxs], hb.g_off[idxs], hb.w_len[idxs],
-            np.zeros(len(rid), np.int8), G, R, NB)
+            np.zeros(len(rid), np.int8), G, R, NB, sync=False)
+        return {"idxs": idxs, "rid": rid, "st": st, "dev": dev, "R": R}
+
+    def _pass1(self, entries, hb: cb.HitBatch, opts):
+        """Vector SW scores + overlap suppression + per-read top-k.
+
+        Returns dict of column arrays of the selected hits, or None."""
+        ctx = self._pass1_dispatch(entries, hb, opts)
+        if ctx is None:
+            return None
+        return self._pass1_finish(entries, hb, opts, ctx)
+
+    def _pass1_finish(self, entries, hb: cb.HitBatch, opts, ctx):
+        cfg = self.cfg
+        idxs = ctx["idxs"]
+        rid = ctx["rid"]
+        st = ctx["st"]
+        scores = np.asarray(ctx["dev"])[:len(idxs)].astype(np.int64)
         score_max = hb.score_max[idxs].astype(np.int64)
         if opts.pass1.threshold >= 0:
             thr = (score_max * (opts.pass1.threshold / 100.0))
@@ -327,6 +425,12 @@ class Mapper:
 
     # ------------------------------------------------------------------
     def _pass2(self, entries, sel, opts) -> dict[int, list[FinalHit]]:
+        ctx = self._pass2_dispatch(entries, sel)
+        return self._pass2_finish(entries, sel, opts, ctx)
+
+    def _pass2_dispatch(self, entries, sel):
+        """Dispatch the pass-2 full-SW kernel; device handles stay in
+        flight until _pass2_finish."""
         cfg = self.cfg
         N = len(sel["rid"])
         rid = sel["rid"]
@@ -389,22 +493,35 @@ class Mapper:
                 local_alignment=not cfg.global_alignment,
                 taboo_len=cfg.indel_taboo_len,
                 band_xmin=band_xmin, band_xmax=band_xmax)
-            stats = np.asarray(stats_d)[:N]
-            crossovers = stats[:, 10]
         else:
+            qr4 = None
             stats_d, ops_d = sw_full.sw_full_and_traceback_jax(
                 gb, rb, rev, cfg.params,
                 local_alignment=not cfg.global_alignment,
                 band_xmin=band_xmin, band_xmax=band_xmax)
-            stats = np.asarray(stats_d)[:N]
-        ops_all = np.asarray(ops_d)[:N]
+        return {"stats_d": stats_d, "ops_d": ops_d, "qr4": qr4, "gb": gb,
+                "N": N, "gen_st": gen_st, "g_off": g_off, "w_len": w_len,
+                "cn": cn}
+
+    def _pass2_finish(self, entries, sel, opts, ctx):
+        cfg = self.cfg
+        N = ctx["N"]
+        rid = sel["rid"]
+        qr4 = ctx["qr4"]
+        gen_st = ctx["gen_st"]
+        g_off = ctx["g_off"]
+        w_len = ctx["w_len"]
+        cn = ctx["cn"]
+        stats = np.asarray(ctx["stats_d"])[:N]
+        crossovers = stats[:, 10] if cfg.colour_space else None
+        ops_all = np.asarray(ctx["ops_d"])[:N]
         score = stats[:, 0]
         tb = {"read_start": stats[:, 1], "genome_start": stats[:, 2],
               "matches": stats[:, 3], "mismatches": stats[:, 4],
               "insertions": stats[:, 5], "deletions": stats[:, 6],
               "rmapped": stats[:, 7], "gmapped": stats[:, 8],
               "ops_len": stats[:, 9], "ops": ops_all}
-        gb_np = np.asarray(gb)
+        gb_np = np.asarray(ctx["gb"])
 
         # --- selection per read (read_pass2) ---
         out: dict[int, list[FinalHit]] = {}
