@@ -56,8 +56,6 @@ _UNSUPPORTED = {
     "--paired-options": "experimental option-set strings",
     "--unpaired-options": "experimental option-set strings",
     "--enable-seed-qual-filter": "seed quality filter",
-    "--save-mmap": "POSIX-shm index residency",
-    "--load-mmap": "POSIX-shm index residency",
 }
 
 
@@ -113,6 +111,8 @@ def main(argv: list[str] | None = None) -> int:
     use_hashing = False
     save_prefix = None
     load_prefix = None
+    save_mmap_prefix = None
+    load_mmap_prefix = None
     pair_mode = 0
     isize_min, isize_max = 0, 1000
     insert_size_mean, insert_size_stddev = 200.0, 100.0
@@ -169,6 +169,10 @@ def main(argv: list[str] | None = None) -> int:
             save_prefix = a
         elif o in ("-L", "--load"):
             load_prefix = a
+        elif o == "--save-mmap":
+            save_mmap_prefix = a
+        elif o == "--load-mmap":
+            load_mmap_prefix = a
         elif o in ("-z", "--cutoff"):
             cfg.list_cutoff = int(a)
         elif o in ("-m", "--match"):
@@ -339,14 +343,22 @@ def main(argv: list[str] | None = None) -> int:
 
     # ----- index acquisition -----
     t0 = time.time()
-    if load_prefix is not None:
+    if load_mmap_prefix is not None:
+        idx = gindex.GenomeIndex.load_mmap(load_mmap_prefix)
+        if idx.colour_space != colour:
+            log("error: index space does not match mapper mode")
+            return 1
+        reads_files = positional
+        log(f"Attached shared index [{load_mmap_prefix}] "
+            f"({time.time() - t0:.1f}s)")
+    elif load_prefix is not None:
         idx = gindex.GenomeIndex.load(load_prefix)
         if idx.colour_space != colour:
             log("error: index space does not match mapper mode")
             return 1
         reads_files = positional
     else:
-        if save_prefix is not None:
+        if save_prefix is not None or save_mmap_prefix is not None:
             genome_files = positional
             reads_files = []
         else:
@@ -382,6 +394,12 @@ def main(argv: list[str] | None = None) -> int:
             for h, e0, e1 in zip(hist, edges[:-1], edges[1:]):
                 log(f"  [{e0:9.0f},{e1:9.0f}) {h}")
 
+    if save_mmap_prefix is not None:
+        idx.save_mmap(save_mmap_prefix)
+        log(f"Saved shared-memory index under [{save_mmap_prefix}] "
+            f"(use --load-mmap; put the prefix in /dev/shm for "
+            f"cross-process residency)")
+        return 0
     if save_prefix is not None:
         idx.save(save_prefix)
         log(f"Saved genome projection under [{save_prefix}]")

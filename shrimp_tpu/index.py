@@ -140,6 +140,71 @@ class GenomeIndex:
             arrays[f"positions_{sn}"] = self.positions[sn]
         np.savez_compressed(prefix + ".idx.npz", **arrays)
 
+    # ------------------------------------------------------------------
+    # shared-memory residency (the --save-mmap/--load-mmap analogue:
+    # genome_load_map_save_mmap / genome_load_mmap, genome.c:291-668).
+    # Arrays are written raw and re-opened with np.memmap, so concurrent
+    # mappers on one host share a single page-cache copy; placing the
+    # prefix under /dev/shm reproduces the reference exactly.
+    # ------------------------------------------------------------------
+    def save_mmap(self, prefix: str) -> None:
+        meta = {
+            "format_version": INDEX_FORMAT_VERSION,
+            "contig_names": self.contig_names,
+            "colour_space": self.colour_space,
+            "list_cutoff": int(self.list_cutoff),
+            "seeds": [s.pattern for s in self.seed_set.seeds],
+            "use_hashing": self.seed_set.use_hashing,
+            "arrays": {},
+        }
+
+        def dump(name, arr):
+            arr = np.ascontiguousarray(arr)
+            path = f"{prefix}.{name}.bin"
+            arr.tofile(path)
+            meta["arrays"][name] = {"dtype": str(arr.dtype),
+                                    "shape": list(arr.shape)}
+
+        dump("contig_offsets", self.contig_offsets)
+        dump("contig_len", self.contig_len)
+        dump("genome", self.genome)
+        if self.genome_cs is not None:
+            dump("genome_cs", self.genome_cs)
+        for sn in range(len(self.offsets)):
+            dump(f"offsets_{sn}", self.offsets[sn])
+            dump(f"positions_{sn}", self.positions[sn])
+        with open(prefix + ".mmap.json", "w") as fh:
+            json.dump(meta, fh)
+
+    @classmethod
+    def load_mmap(cls, prefix: str) -> "GenomeIndex":
+        with open(prefix + ".mmap.json") as fh:
+            meta = json.load(fh)
+        if meta["format_version"] != INDEX_FORMAT_VERSION:
+            raise ValueError("index format mismatch")
+
+        def mm(name):
+            info = meta["arrays"][name]
+            return np.memmap(f"{prefix}.{name}.bin", dtype=info["dtype"],
+                             mode="r", shape=tuple(info["shape"]))
+
+        seed_set = make_seed_set(meta["seeds"],
+                                 use_hashing=meta["use_hashing"])
+        n = len(meta["seeds"])
+        return cls(
+            contig_names=meta["contig_names"],
+            contig_offsets=np.asarray(mm("contig_offsets")),
+            contig_len=np.asarray(mm("contig_len")),
+            genome=mm("genome"),
+            seed_set=seed_set,
+            offsets=[mm(f"offsets_{sn}") for sn in range(n)],
+            positions=[mm(f"positions_{sn}") for sn in range(n)],
+            colour_space=meta["colour_space"],
+            genome_cs=(mm("genome_cs") if "genome_cs" in meta["arrays"]
+                       else None),
+            list_cutoff=meta["list_cutoff"],
+        )
+
     @classmethod
     def load(cls, prefix: str) -> "GenomeIndex":
         with open(prefix + ".meta.json") as fh:

@@ -51,7 +51,7 @@ def test_cli_save_load_roundtrip(tmp_path):
 
 
 def test_cli_rejects_unsupported():
-    r = run_cli(["--save-mmap", "z", "x.fa", "y.fa"])
+    r = run_cli(["--paired-options", "z", "x.fa", "y.fa"])
     assert r.returncode == 1
     assert "not supported" in r.stderr
 
@@ -60,3 +60,14 @@ def test_cli_help():
     r = run_cli(["-?"])
     assert r.returncode == 0
     assert "usage" in r.stderr
+
+
+def test_cli_mmap_roundtrip(tmp_path):
+    prefix = str(tmp_path / "shm")
+    r = run_cli(["--save-mmap", prefix,
+                 os.path.join(GOLDEN, "golden_genome.fa")])
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["--load-mmap", prefix, "-Q",
+                 os.path.join(GOLDEN, "mini_reads.fq")])
+    assert r.returncode == 0, r.stderr
+    assert len(body(r.stdout)) == 40
