@@ -52,7 +52,6 @@ _LONG = [
 ]
 
 _UNSUPPORTED = {
-    "--bfast": "bfast-style quality recalibration",
     "--paired-options": "experimental option-set strings",
     "--unpaired-options": "experimental option-set strings",
     "--enable-seed-qual-filter": "seed quality filter",
@@ -228,6 +227,8 @@ def main(argv: list[str] | None = None) -> int:
             rflag = True
         elif o in ("-P", "--pretty"):
             pflag = True
+        elif o in ("-B", "--bfast"):
+            cfg.bfast = True
         elif o in ("-Q", "--fastq"):
             fastq = True
         elif o in ("-T", "--rev-tiebreak"):

@@ -198,6 +198,32 @@ def unaligned_record_cs(name: str, seq_text: str,
     return rec
 
 
+def bfast_quals(qual_raw: str, qralign: str, read_start0: int,
+                rmapped: int, reverse_strand: bool) -> str:
+    """Bflag colour-quality blend (hit_output, output.c:585-615): adjacent
+    colour qvs combine into base qvs, lowercase (crossover) columns zeroing
+    or differencing their contribution; clamped to ['"', '`']."""
+    rl = rmapped
+    qual = [ord(qual_raw[i + read_start0]) for i in range(rl)]
+    for i in range(rl - 1):
+        first_mm = qralign[i] > "`"
+        second_mm = qralign[i + 1] > "`"
+        if first_mm and second_mm:
+            bq = 0
+        elif first_mm:
+            bq = qual[i + 1] - qual[i]
+        elif second_mm:
+            bq = qual[i] - qual[i + 1] + 33
+        else:
+            bq = qual[i] + qual[i + 1] + 10 - 33
+        bq = min(ord("`"), max(bq, ord('"')))
+        qual[i] = bq
+    out = "".join(chr(c) for c in qual)
+    if reverse_strand:
+        out = out[::-1]
+    return out
+
+
 def aligned_record_cs(*, name: str, seq_text: str, qual_raw: str | None,
                       contig_name: str, contig_len: int,
                       genome_start0: int, read_start0: int,
@@ -205,6 +231,7 @@ def aligned_record_cs(*, name: str, seq_text: str, qual_raw: str | None,
                       insertions: int, deletions: int, mismatches: int,
                       ops, qralign: str, qual33: str | None,
                       crossovers: int, reverse_strand: bool,
+                      bfast: bool = False,
                       score_full: int, mapq_v: int,
                       z0: float | None = None, z1: float | None = None,
                       read_len: int | None = None) -> SamRecord:
@@ -222,7 +249,11 @@ def aligned_record_cs(*, name: str, seq_text: str, qual_raw: str | None,
     cig = [(n, "H" if op == "S" else op) for n, op in cig]
     seq = "".join(c for c in qralign.upper() if c != "-")
     qual_out = "*"
-    if qual33 is not None:
+    if bfast and qual_raw is not None:
+        # bfast mode applies its own reversal inside the helper
+        qual_out = bfast_quals(qual_raw, qralign, read_start0, rmapped,
+                               reverse_strand)
+    elif qual33 is not None:
         qual_out = qual33
     if not reverse_strand:
         pos = genome_start0 + 1
@@ -231,7 +262,7 @@ def aligned_record_cs(*, name: str, seq_text: str, qual_raw: str | None,
         pos = right_most - (gmapped - 1)
         seq = revcomp_text(seq)
         cig = cig[::-1]
-        if qual_out != "*":
+        if qual_out != "*" and not bfast:
             qual_out = qual_out[::-1]
     tags = [f"AS:i:{score_full}"]
     if z0 is not None and z1 is not None:

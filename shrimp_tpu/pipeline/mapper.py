@@ -769,6 +769,7 @@ class Mapper:
                     qual33=(fh.qual33
                             if cfg.compute_mapping_qualities else None),
                     crossovers=fh.crossovers,
+                    bfast=cfg.bfast,
                     reverse_strand=fh.gen_st == 1,
                     score_full=fh.score_full,
                     mapq_v=fh.mqv if cfg.compute_mapping_qualities else 255,

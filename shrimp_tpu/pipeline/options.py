@@ -112,6 +112,7 @@ class MapperConfig:
     sw_vect_threshold: float | None = None    # default: 47 (cs) / full (ls)
     sw_full_threshold: float = 50.0           # DEF_SW_FULL_THRESHOLD
     strand_mask: int = 3              # bit 0: + strand, bit 1: - strand
+    bfast: bool = False               # Bflag: bfast-style CS base quals
     all_contigs: bool = False         # suppresses Z-field emission
 
     def vect_threshold(self) -> float:

@@ -1029,6 +1029,7 @@ class PairedMapper(Mapper):
                 ops=fh.ops, qralign=fh.qralign,
                 qual33=(fh.qual33 if cfg.compute_mapping_qualities else None),
                 crossovers=fh.crossovers,
+                bfast=cfg.bfast,
                 reverse_strand=fh.gen_st == 1,
                 score_full=fh.score_full,
                 mapq_v=fh.mqv if cfg.compute_mapping_qualities else 255,

@@ -49,3 +49,20 @@ def test_sam_byte_equality(mapped_lines):
         f"{len(mapped_lines)} records vs {len(golden)} golden"
     for i, (g, m) in enumerate(zip(golden, mapped_lines)):
         assert g == m, f"line {i}:\n  golden: {g}\n  mine:   {m}"
+
+
+def test_bfast_quals():
+    """gmapper-cs -Q -B parity (bfast-style colour-quality blending)."""
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "-m", "shrimp_tpu.gmapper", "--mode", "cs", "-Q",
+         "-B", os.path.join(GOLDEN, "mini_reads_cs.fq"),
+         os.path.join(GOLDEN, "golden_genome.fa")],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, r.stderr
+    mine = [l for l in r.stdout.splitlines() if not l.startswith("@")]
+    with open(os.path.join(GOLDEN, "golden_cs_bfast.sam")) as fh:
+        golden = [l.rstrip("\n") for l in fh if not l.startswith("@")]
+    assert mine == golden
