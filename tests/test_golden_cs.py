@@ -57,7 +57,7 @@ def test_bfast_quals():
     import sys
     r = subprocess.run(
         [sys.executable, "-m", "shrimp_tpu.gmapper", "--mode", "cs", "-Q",
-         "-B", os.path.join(GOLDEN, "mini_reads_cs.fq"),
+         "--bfast", os.path.join(GOLDEN, "mini_reads_cs.fq"),
          os.path.join(GOLDEN, "golden_genome.fa")],
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(__file__)))
