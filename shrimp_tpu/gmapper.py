@@ -139,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
     shrimp_format = False
     rflag = False
     pflag = False
+    trim_illumina = False
 
     score_updates: dict[str, int] = {}
 
@@ -229,6 +230,8 @@ def main(argv: list[str] | None = None) -> int:
             pflag = True
         elif o in ("-B", "--bfast"):
             cfg.bfast = True
+        elif o == "--trim-illumina":
+            trim_illumina = True
         elif o in ("-Q", "--fastq"):
             fastq = True
         elif o in ("-T", "--rev-tiebreak"):
@@ -450,6 +453,14 @@ def main(argv: list[str] | None = None) -> int:
             rec.seq = rec.seq[trim_front:len(rec.seq) - trim_end]
             if rec.qual:
                 rec.qual = rec.qual[trim_front:len(rec.qual) - trim_end]
+        if trim_illumina and not colour and rec.qual:
+            # trim trailing Illumina 'B' qualities (gmapper.c:442-455)
+            n = len(rec.qual)
+            while n > 0 and rec.qual[n - 1] == "B":
+                n -= 1
+            if n < len(rec.qual):
+                rec.seq = rec.seq[:n]
+                rec.qual = rec.qual[:n]
         return rec
 
     def rec_ok(rec):
