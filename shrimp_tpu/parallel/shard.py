@@ -63,6 +63,59 @@ def merge_scores_across_shards(scores: jax.Array, posteriors: jax.Array,
     return top, z1
 
 
+class ShardedMapper:
+    """Maps reads against N genome-index shards and recombines mapping
+    qualities exactly — the in-memory (single-host, multi-shard) form of the
+    split-db + mergesam workflow.
+
+    Each shard would live in one host's HBM on a real pod slice; the merge
+    quantities here (z1 sums across shards, bounded top-k by score) are the
+    same associative algebra `merge_scores_across_shards` expresses as
+    psum/all_gather collectives on the device mesh.
+    """
+
+    def __init__(self, indexes, cfg=None):
+        from shrimp_tpu.pipeline.mapper import Mapper
+        from shrimp_tpu.pipeline.options import MapperConfig
+        self.cfg = cfg or MapperConfig()
+        self.mappers = [Mapper(idx, self.cfg) for idx in indexes]
+
+    def map_batch(self, reads):
+        """Returns (entry, hits) per read with cross-shard MQVs; hit contig
+        numbers are remapped to (shard, cn) pairs via `contig_name`."""
+        from shrimp_tpu import mapq
+
+        per_shard = [m.map_batch(reads) for m in self.mappers]
+        out = []
+        for ri in range(len(reads)):
+            entry = per_shard[0][ri][0]
+            # z1 := sum_j z1_j (MAPPING_QUALITIES Part 1c); each shard's
+            # kept-hit posterior sum plays z1_j
+            z1 = 0.0
+            merged = []
+            for sn, shard in enumerate(per_shard):
+                hits = shard[ri][1]
+                if not hits:
+                    continue
+                z1 += sum(h.posterior for h in hits)
+                for h in hits:
+                    merged.append((sn, h))
+            # bounded selection by score (the mergesam heap policy)
+            merged.sort(key=lambda t: -t[1].score_full)
+            merged = merged[:self.cfg.num_outputs]
+            for sn, h in merged:
+                h.z0 = h.posterior
+                h.z1 = z1
+                h.mqv = mapq.qv_from_pr_corr(h.posterior / z1) if z1 else 0
+                if h.mqv < 4:
+                    h.mqv = 0
+            out.append((entry, merged))
+        return out
+
+    def contig_name(self, sn: int, cn: int) -> str:
+        return self.mappers[sn].index.contig_names[cn]
+
+
 def sharded_pass1_step(mesh: Mesh, params: SWParams = SWParams(), k: int = 10):
     """Build the jitted multi-chip pass-1 step.
 
