@@ -176,11 +176,12 @@ def prepare_reads(reads: list[tuple[str, str, str | None]],
     lens = np.array([len(sq) for _, sq, _ in reads], np.int64)
     offs = np.zeros(len(reads) + 1, np.int64)
     np.cumsum(lens, out=offs[1:])
+    comp_all = dna.COMPLEMENT[codes_all]
     wl = cfg.window_len
     out = []
     for i, (nm, sq, ql) in enumerate(reads):
         fw = codes_all[offs[i]:offs[i + 1]]
-        rc = dna.COMPLEMENT[fw][::-1]
+        rc = comp_all[offs[i]:offs[i + 1]][::-1]
         rl = int(lens[i])
         out.append(ReadEntry(
             name=nm, seq=sq, qual=ql, read=[fw, rc], read_len=rl,

@@ -194,7 +194,9 @@ def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
             z32 = np.zeros(0, np.int32)
             return AnchorBatch(z32, np.zeros(0, np.int8), z, z32, z32, z32, z32)
 
-    order = np.lexsort((x, rid))
+    # single combined-key stable sort ((rid, x) lexsort equivalent):
+    # x < 2^40 (1 Tbp genomes), rid < 2^23
+    order = np.argsort((rid.astype(np.int64) << 40) | x, kind="stable")
     rid, x, y, ln = rid[order], x[order], y[order], ln[order]
     cn = idx.contig_of(x).astype(np.int32)
     wt = np.ones(len(x), np.int32)
@@ -205,8 +207,8 @@ def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
         slot = (x + R - y) % R
         diag = x - y
         # group by (rid, slot), preserve x-order inside groups
-        seq = np.arange(len(x))
-        g_order = np.lexsort((seq, slot, rid))
+        g_order = np.argsort(rid.astype(np.int64) * np.int64(R.max() + 1)
+                             + slot, kind="stable")
         r2, s2, d2, c2 = rid[g_order], slot[g_order], diag[g_order], cn[g_order]
         new_run = np.ones(len(x), bool)
         if len(x) > 1:
