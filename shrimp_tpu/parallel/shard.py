@@ -152,3 +152,59 @@ def sharded_pass1_step(mesh: Mesh, params: SWParams = SWParams(), k: int = 10):
         check_vma=False,
     )  # check_vma off: scan carries start as unvarying constants
     return jax.jit(fn)
+
+
+def sharded_map_step(mesh: Mesh, params: SWParams = SWParams()):
+    """The FULL sharded mapping step: pass-1 vector filter per genome shard,
+    mergesam-algebra collectives (psum of posteriors, cross-shard argmax),
+    then the pass-2 full SW + fused traceback on each read's winning window.
+
+    Returns step(windows[B, S, G], reads[B, 1, R]) ->
+        (stats[B', 10], z1[B']) with B' = B / reads-axis extent.
+    This is what `__graft_entry__.dryrun_multichip` compiles over the mesh.
+    """
+    from jax import shard_map
+
+    from shrimp_tpu.ops.params import ScoreProbs
+    from shrimp_tpu.ops.sw_full import sw_full_and_traceback_jax
+
+    probs = ScoreProbs.from_scores(params, False)
+    a = jnp.float32(probs.alpha)
+    bta = jnp.float32(2.0 * probs.alpha + probs.beta)
+
+    def per_device(windows, reads):
+        b, s, G = windows.shape
+        _, _, R = reads.shape
+        w2 = windows.reshape(b * s, G)
+        r2 = jnp.broadcast_to(reads, (b, s, R)).reshape(b * s, R)
+        scores = sw_score_batch(w2, r2, params).reshape(b, s)
+
+        # ls posterior per window (hit_run_post_sw LS shortcut) -> z1 psum
+        post = jnp.exp2((scores.astype(jnp.float32) - R * bta) / a)
+        z1 = jax.lax.psum(jnp.sum(post, axis=1), GENOME_AXIS)
+
+        # cross-shard best window per read: argmax over gathered scores
+        gathered = jax.lax.all_gather(scores, GENOME_AXIS, axis=1,
+                                      tiled=True)                  # [b, S]
+        best = jnp.argmax(gathered, axis=1)
+        my_lo = jax.lax.axis_index(GENOME_AXIS) * s
+        local = jnp.clip(best - my_lo, 0, s - 1)
+        mine = (best >= my_lo) & (best < my_lo + s)
+        win = windows[jnp.arange(b), local]                        # [b, G]
+        # only the owning shard runs pass 2; others contribute zeros
+        win = jnp.where(mine[:, None], win, -1)
+        stats, _ops = sw_full_and_traceback_jax(
+            win, reads[:, 0, :], jnp.zeros(b, bool), params,
+            local_alignment=False)
+        stats = jax.lax.psum(jnp.where(mine[:, None], stats, 0),
+                             GENOME_AXIS)
+        return stats, z1
+
+    fn = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(READS_AXIS, GENOME_AXIS, None),
+                  P(READS_AXIS, None, None)),
+        out_specs=(P(READS_AXIS, None), P(READS_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
