@@ -81,20 +81,24 @@ class HitList:
 def cs_read_ls4(colours: np.ndarray, initbp: int) -> np.ndarray:
     """The 4 letter-space decodings of a colour read (sw_full_cs,
     common/sw-full-cs.c:1195-1211); layer k starts at letter (initbp+k)%4 and
-    an N colour resets the decoding chain to the layer's initial letter."""
+    an N colour resets the decoding chain to the layer's initial letter.
+
+    Vectorized: within each segment between N colours the letters are the
+    layer initial XOR the segment-relative colour prefix-XOR."""
+    colours = np.asarray(colours, dtype=np.int8)
     read_len = len(colours)
-    out = np.empty((4, read_len), np.int8)
-    for k in range(4):
-        letter = (k + initbp) % 4
-        for j in range(read_len):
-            c = int(colours[j])
-            if not (0 <= c <= 3):
-                out[k, j] = dna.BASE_N
-                letter = (k + initbp) % 4
-            else:
-                letter = letter ^ c
-                out[k, j] = letter
-    return out
+    is_n = (colours < 0) | (colours > 3)
+    cx = np.where(is_n, np.int8(0), colours)
+    px = np.bitwise_xor.accumulate(cx)
+    # prefix XOR at the most recent N position (the reset points)
+    idx = np.arange(read_len)
+    last_n = np.maximum.accumulate(np.where(is_n, idx, -1))
+    base = np.where(last_n >= 0, px[np.maximum(last_n, 0)], np.int8(0))
+    rel = (px ^ base).astype(np.int8)
+    inits = np.array([(k + initbp) % 4 for k in range(4)], np.int8)
+    out = inits[:, None] ^ rel[None, :]
+    out[:, is_n] = dna.BASE_N
+    return out.astype(np.int8)
 
 
 def get_read_ls4(e: "ReadEntry", st: int) -> np.ndarray:
@@ -132,17 +136,20 @@ def prepare_read(name: str, seq: str, qual: str | None,
         min_kmer_pos = 1
         # position-based crossover scores from qvs (gmapper.c:533-546)
         if qual is not None and not cfg.ignore_qvs:
-            from shrimp_tpu import mapq
             from shrimp_tpu.ops.params import ScoreProbs
             probs = ScoreProbs.from_scores(cfg.params, True)
-            xs = np.empty(read_len, np.int32)
+            q = (np.frombuffer(qual[:read_len].encode("latin1"),
+                               dtype=np.uint8).astype(np.int32)
+                 - cfg.qual_delta)
+            # pr_err_from_qv clamps (common/util.h:286-297)
+            pr = np.where(q <= 0, 0.99999999,
+                          np.where(q >= 250, 1e-25,
+                                   10.0 ** (-q / 10.0)))
+            v = np.trunc(probs.alpha * np.log(pr / 3.0)
+                         / np.log(2.0)).astype(np.int32)
             two_x = 2 * cfg.params.crossover
-            for j in range(read_len):
-                q = ord(qual[j]) - cfg.qual_delta
-                v = int(probs.alpha
-                        * np.log(mapq.pr_err_from_qv(q) / 3.0) / np.log(2.0))
-                xs[j] = -1 if v > -1 else (two_x if v < two_x else v)
-            crossover_score = xs
+            crossover_score = np.where(
+                v > -1, -1, np.where(v < two_x, two_x, v)).astype(np.int32)
         read_ls4 = cs_read_ls4(colours, initbp)
     else:
         initbp = -1
