@@ -52,8 +52,7 @@ _LONG = [
 ]
 
 _UNSUPPORTED = {
-    "--paired-options": "experimental option-set strings",
-    "--unpaired-options": "experimental option-set strings",
+    "--paired-options": "experimental multi-set paired option strings",
     "--enable-seed-qual-filter": "seed quality filter",
 }
 
@@ -136,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
     extra_sam_fields = False
     no_improper = False
     mirna = False
+    unpaired_option_sets = []
     shrimp_format = False
     rflag = False
     pflag = False
@@ -232,6 +232,15 @@ def main(argv: list[str] | None = None) -> int:
             cfg.bfast = True
         elif o == "--trim-illumina":
             trim_illumina = True
+        elif o == "--unpaired-options":
+            nip, _, rest = a.partition(";")
+            if nip not in ("0", "1"):
+                log(f"error: invalid unpaired mapping options: [{a}]")
+                return 1
+            from shrimp_tpu.pipeline.options import \
+                parse_read_mapping_options
+            unpaired_option_sets.append(
+                parse_read_mapping_options(rest, is_paired=False))
         elif o in ("-Q", "--fastq"):
             fastq = True
         elif o in ("-T", "--rev-tiebreak"):
@@ -537,7 +546,8 @@ def main(argv: list[str] | None = None) -> int:
                         out.write(rec.line() + "\n")
         else:
             triples = [(r.name, r.seq, r.qual) for r in batch if rec_ok(r)]
-            results = mapper.map_batch(triples)
+            results = mapper.map_batch(
+                triples, options=unpaired_option_sets or None)
             for re_e, hits in results:
                 n_reads += 1
                 if hits:

@@ -197,7 +197,7 @@ class Mapper:
         """Map a batch of (name, seq, qual) reads; returns final hits per
         read in input order."""
         cfg = self.cfg
-        opts = (options or cfg.unpaired_options())[0]
+        option_sets = options or cfg.unpaired_options()
 
         entries = cand.prepare_reads(reads, cfg, self.min_seed_span)
         self.stats["reads"] += len(entries)
@@ -208,16 +208,36 @@ class Mapper:
         live_entries = [e for e, o in zip(entries, ok) if o]
         live_map = np.flatnonzero(ok)
         results: list[list[FinalHit]] = [[] for _ in entries]
-        if live_entries:
-            hb = self._candidates(live_entries, opts)
+
+        # multi-round option-set fall-through (handle_read loop,
+        # mapping.c:1807-1858): a read advances to the next option set while
+        # its pass2 round reports not-done (stop_count/stop_threshold)
+        pending = list(range(len(live_entries)))
+        for opts in option_sets:
+            if not pending:
+                break
+            sub = [live_entries[i] for i in pending]
+            per_read: dict[int, list[FinalHit]] = {}
+            hb = self._candidates(sub, opts)
             if hb.n:
                 self.stats["pass1_windows"] += hb.n
-                sel = self._pass1(live_entries, hb, opts)
+                sel = self._pass1(sub, hb, opts)
                 if sel is not None:
                     self.stats["pass2_windows"] += len(sel["rid"])
-                    per_read = self._pass2(live_entries, sel, opts)
-                    for li, hits in per_read.items():
-                        results[live_map[li]] = hits
+                    per_read = self._pass2(sub, sel, opts)
+            nxt = []
+            for k, li in enumerate(pending):
+                hits = per_read.get(k, [])
+                if hits:
+                    results[live_map[li]].extend(hits)
+                if opts.pass2.stop_count > 0:
+                    cnt = sum(
+                        1 for h in hits
+                        if h.score_full >= int(abs_or_pct(
+                            opts.pass2.stop_threshold, h.score_max)))
+                    if cnt < opts.pass2.stop_count:
+                        nxt.append(li)
+            pending = nxt
 
         for hits in results:
             if hits:
@@ -592,6 +612,7 @@ class Mapper:
                     insertions=int(tb["insertions"][n]),
                     deletions=int(tb["deletions"][n]),
                     ops=ops_n,
+                    score_max=int(score_max[n]),
                     crossovers=(int(crossovers[n]) if crossovers is not None
                                 else 0),
                     dbalign=dbal, qralign=qral, qual33=qual33))

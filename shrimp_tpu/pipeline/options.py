@@ -63,6 +63,9 @@ class Pass2Options:
     save_outputs: bool = False
     num_outputs: int = 10             # DEF_NUM_OUTPUTS
     threshold: float = 50.0
+    # multi-round fall-through control (read_pass2 tail, mapping.c:1752-1766)
+    stop_count: int = 0
+    stop_threshold: float = 50.0
 
 
 @dataclass
@@ -143,3 +146,76 @@ class MapperConfig:
         opts.pass2.strata = self.strata
         opts.pass2.threshold = self.sw_full_threshold
         return [opts]
+
+
+def _parse_threshold(tok: str) -> float:
+    """get_threshold (gmapper.c): plain integers are absolute (stored
+    negated); '%' or '.' marks a percentage."""
+    v = float(tok.rstrip("%"))
+    if v < 0:
+        raise ValueError(f"invalid threshold {tok!r}")
+    if "%" not in tok and "." not in tok:
+        return -v
+    return v
+
+
+def _parse_bool(tok: str) -> bool:
+    if tok in ("true", "1"):
+        return True
+    if tok in ("false", "0"):
+        return False
+    raise ValueError(f"invalid bool {tok!r}")
+
+
+def parse_read_mapping_options(text: str,
+                               is_paired: bool = False) -> ReadMappingOptions:
+    """The experimental option-set string grammar (get_read_mapping_options,
+    gmapper.c:1620-1716): '/'-separated sections
+    regions/anchor_list/hit_list/pass1/pass2[/stop], comma-separated values.
+    """
+    opts = ReadMappingOptions()
+    secs = text.split("/")
+    it = iter(secs)
+    # regions
+    f = next(it).split(",")
+    opts.regions.recompute = _parse_bool(f[0])
+    # anchor_list
+    f = next(it).split(",")
+    opts.anchor_list.recompute = _parse_bool(f[0])
+    if opts.anchor_list.recompute:
+        opts.anchor_list.collapse = _parse_bool(f[1])
+        opts.anchor_list.use_region_counts = _parse_bool(f[2])
+        if is_paired:
+            opts.anchor_list.use_mp_region_counts = int(f[3])
+    # hit_list
+    f = next(it).split(",")
+    opts.hit_list.recompute = _parse_bool(f[0])
+    if opts.hit_list.recompute:
+        opts.hit_list.gapless = _parse_bool(f[1])
+        opts.hit_list.match_mode = int(f[2])
+        opts.hit_list.threshold = _parse_threshold(f[3])
+    # pass1
+    f = next(it).split(",")
+    opts.pass1.recompute = _parse_bool(f[0])
+    if opts.pass1.recompute:
+        opts.pass1.threshold = _parse_threshold(f[1])
+        opts.pass1.window_overlap = _parse_threshold(f[2])
+        opts.pass1.min_matches = int(f[3])
+        opts.pass1.gapless = _parse_bool(f[4])
+        if is_paired:
+            opts.pass1.only_paired = _parse_bool(f[5])
+        else:
+            opts.pass1.num_outputs = int(f[5])
+    # pass2
+    f = next(it).split(",")
+    opts.pass2.threshold = _parse_threshold(f[0])
+    if not is_paired:
+        opts.pass2.strata = _parse_bool(f[1])
+        opts.pass2.save_outputs = _parse_bool(f[2])
+        opts.pass2.num_outputs = int(f[3])
+        # stop
+        f = next(it).split(",")
+        opts.pass2.stop_count = int(f[0])
+        if opts.pass2.stop_count > 0:
+            opts.pass2.stop_threshold = _parse_threshold(f[1])
+    return opts
