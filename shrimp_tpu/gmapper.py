@@ -215,7 +215,11 @@ def main(argv: list[str] | None = None) -> int:
             mu, sd = a.split(",")
             insert_size_mean, insert_size_stddev = float(mu), float(sd)
         elif o in ("-U", "--ungapped"):
+            # -U also kills gap opens and anchors (gmapper.c:2055-2060)
             cfg.gapless = True
+            cfg.anchor_width = 0
+            score_updates.setdefault("a_gap_open", -255)
+            score_updates.setdefault("b_gap_open", -255)
         elif o in ("-C", "--negative"):
             cfg.strand_mask = 2
         elif o in ("-F", "--positive"):
@@ -341,6 +345,32 @@ def main(argv: list[str] | None = None) -> int:
 
     if score_updates:
         cfg.params = cfg.params.with_(**score_updates)
+
+    # cross-option validation (gmapper.c:2322-2500)
+    if not cfg.global_alignment and cfg.compute_mapping_qualities:
+        log("note: mapping qualities are not available in local alignment "
+            "mode; disabling them")
+        cfg.compute_mapping_qualities = False
+    if cfg.global_alignment and cfg.gapless:
+        log("error: cannot use global (or bfast) and ungapped mode at the "
+            "same time!")
+        return 1
+    if cfg.sam_unaligned and shrimp_format:
+        log("error: when using flag --sam-unaligned must also use -E/--sam")
+        return 1
+    if cfg.window_len >= 0 and cfg.window_len < 100.0:
+        log("error: window length < 100% of read length")
+        return 1
+    if cfg.window_overlap >= 0 and cfg.window_overlap > 100.0:
+        log("warning: window overlap length > 100% of window_length; "
+            "resetting to 100%")
+        cfg.window_overlap = 100.0
+    mm = cfg.match_mode_unpaired
+    if (pair_mode == 0 and not 1 <= mm <= 2) or \
+            (pair_mode != 0 and not 2 <= mm <= 4):
+        log(f"error: invalid match mode [pair_mode={pair_mode};"
+            f"match_mode={mm}]")
+        return 1
     if mirna:
         seed_specs = seedmod.MIRNA_SEEDS
         cfg.gapless = True
