@@ -125,6 +125,12 @@ class Mapper:
                                                        dna.BASE_T))
             self.genome_cs_rc = (np.concatenate(rc_parts).astype(np.int8)
                                  if rc_parts else np.zeros(0, np.int8))
+        # the CS vector filter scores colour mismatches as one crossover
+        # (f1_setup arg: match + crossover, gmapper.c:2932-2934)
+        self.vect_params = (self.cfg.params if not self.cfg.colour_space
+                            else self.cfg.params.with_(
+                                mismatch=self.cfg.params.match
+                                + self.cfg.params.crossover))
         self.min_seed_span = index.seed_set.min_span
         self.stats = {"reads": 0, "reads_matched": 0, "reads_dropped": 0,
                       "total_matches": 0, "pass1_windows": 0,
@@ -186,7 +192,8 @@ class Mapper:
         gb = _pad_rows(g_cs.astype(np.int8), NB, sw_vector.GENOME_PAD)
         rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
         row0 = _pad_rows(row0, NB, sw_vector.GENOME_PAD)
-        dev = sw_vector.sw_score_batch(gb, rb, cfg.params, genome_row0=row0)
+        dev = sw_vector.sw_score_batch(gb, rb, self.vect_params,
+                                       genome_row0=row0)
         if not sync:
             return dev
         return np.asarray(dev)[:len(rid)].astype(np.int64)

@@ -1,0 +1,63 @@
+"""Medium-corpus byte-parity regression (400 reads / 200 pairs on a 200kb
+genome, fresh seeds distinct from the small goldens).  This corpus caught
+the CS vector-filter mismatch-score bug the small corpus missed."""
+
+import os
+
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def golden_body(name):
+    with open(os.path.join(GOLDEN, name)) as fh:
+        return [l.rstrip("\n") for l in fh if not l.startswith("@")]
+
+
+def _map_lines(mode, reads, paired=False):
+    from shrimp_tpu import index as gindex
+    from shrimp_tpu.io import fastx
+    from shrimp_tpu.ops.params import SWParams
+    from shrimp_tpu.pipeline.mapper import Mapper
+    from shrimp_tpu.pipeline.options import MapperConfig
+    from shrimp_tpu.pipeline.paired import (PAIR_OPP_IN, PairedConfig,
+                                            PairedMapper)
+
+    colour = mode == "cs"
+    idx = gindex.build_index(
+        list(fastx.iter_contigs(os.path.join(GOLDEN, "med_genome.fa"))),
+        colour_space=colour)
+    cfg = MapperConfig(colour_space=colour,
+                       params=(SWParams.colour_space() if colour
+                               else SWParams.letter_space()),
+                       qual_delta=33 if colour else 64)
+    recs = list(fastx.iter_reads(os.path.join(GOLDEN, reads)))
+    lines = []
+    if paired:
+        m = PairedMapper(idx, cfg, PairedConfig(pair_mode=PAIR_OPP_IN))
+        pairs = [((recs[i].name, recs[i].seq, recs[i].qual),
+                  (recs[i + 1].name, recs[i + 1].seq, recs[i + 1].qual))
+                 for i in range(0, len(recs), 2)]
+        for pr in m.map_pair_batch(pairs):
+            for rec in m.sam_records_pair(pr):
+                lines.append(rec.line())
+    else:
+        m = Mapper(idx, cfg)
+        for re_e, hits in m.map_batch([(r.name, r.seq, r.qual)
+                                       for r in recs]):
+            for rec in m.sam_records(re_e, hits):
+                lines.append(rec.line())
+    return lines
+
+
+def test_medium_ls():
+    assert _map_lines("ls", "med_reads.fq") == golden_body("med_ls.sam")
+
+
+def test_medium_cs():
+    assert _map_lines("cs", "med_reads_cs.fq") == golden_body("med_cs.sam")
+
+
+def test_medium_paired():
+    assert _map_lines("ls", "med_pairs.fq", paired=True) == \
+        golden_body("med_paired.sam")
