@@ -557,6 +557,45 @@ class Mapper:
         grp_bounds = np.searchsorted(rid[grp_order],
                                      np.unique(rid))
         uniq = np.unique(rid)
+
+        # CS: collect raw-threshold survivors first, run the posterior HMM
+        # for all of them in one vectorized batch (bit-equal to the per-hit
+        # pass), then finalize below
+        cs_posteriors: dict[int, tuple[float, str]] = {}
+        cs_renders: dict[int, tuple[str, str]] = {}
+        if cfg.colour_space:
+            from shrimp_tpu.ops import post_sw as post_sw_mod
+            from shrimp_tpu.ops import sw_full_cs
+            items = []
+            item_rows = []
+            for n in range(len(rid)):
+                s = int(score[n])
+                if s <= 0:
+                    continue
+                thresh = abs_or_pct(opts.pass2.threshold, score_max[n])
+                if s < thresh:
+                    continue
+                ops_n = tb["ops"][n, :tb["ops_len"][n]]
+                e = entries[rid[n]]
+                dbal, qral = sw_full_cs.render_alignment_cs(
+                    ops_n, gb_np[n], np.asarray(qr4[n]),
+                    int(tb["genome_start"][n]), int(tb["read_start"][n]))
+                cs_renders[n] = (dbal, qral)
+                if cfg.compute_mapping_qualities:
+                    q_in = (None if (e.qual is None or cfg.ignore_qvs)
+                            else e.qual)
+                    items.append({"colours": e.read[0], "initbp": e.initbp,
+                                  "qual": q_in,
+                                  "read_start": int(tb["read_start"][n]),
+                                  "dbalign": dbal, "qralign": qral})
+                    item_rows.append(n)
+            if items:
+                res = post_sw_mod.post_sw_batch(
+                    items, self.probs, qual_delta=cfg.qual_delta,
+                    qual_vector_offset=cfg.qual_vector_offset)
+                for n, r in zip(item_rows, res):
+                    cs_posteriors[n] = r
+
         for gi, li in enumerate(uniq):
             lo = grp_bounds[gi]
             hi = grp_bounds[gi + 1] if gi + 1 < len(uniq) else len(rid)
@@ -574,21 +613,10 @@ class Mapper:
                     # (sw-full-cs.c:1215-1223)
                     if s < thresh:
                         continue
-                    from shrimp_tpu.ops import post_sw as post_sw_mod
-                    from shrimp_tpu.ops import sw_full_cs
-                    e = entries[rid[n]]
-                    dbal, qral = sw_full_cs.render_alignment_cs(
-                        ops_n, gb_np[n], np.asarray(qr4[n]),
-                        int(tb["genome_start"][n]), int(tb["read_start"][n]))
+                    dbal, qral = cs_renders[n]
                     qual33 = None
                     if cfg.compute_mapping_qualities:
-                        q_in = (None if (e.qual is None or cfg.ignore_qvs)
-                                else e.qual)
-                        posterior, qual33 = post_sw_mod.post_sw(
-                            e.read[0], e.initbp, q_in,
-                            int(tb["read_start"][n]), dbal, qral, self.probs,
-                            qual_delta=cfg.qual_delta,
-                            qual_vector_offset=cfg.qual_vector_offset)
+                        posterior, qual33 = cs_posteriors[n]
                         score_full = mapq.posterior_score(posterior, rmapped,
                                                           self.probs)
                         if score_full < thresh:
