@@ -150,8 +150,12 @@ def reverse_complement_read_cs(colours: np.ndarray, initbp: int,
     letter and the complement of the RC primer base."""
     colours = np.asarray(colours, dtype=np.int8)
     n = len(colours)
-    letters = colours_to_letters(colours, initbp)
-    last = int(letters[-1]) if n else initbp
+    if n and (((colours < 0) | (colours > 3)).any()):
+        last = BASE_N
+    elif n:
+        last = initbp ^ int(np.bitwise_xor.reduce(colours))
+    else:
+        last = initbp
     rc = np.empty(n, dtype=np.int8)
     rc[1:] = colours[1:][::-1]
     rc[0] = lstocs(last, complement_base(initbp_rc))

@@ -484,34 +484,26 @@ def render_alignment_cs(ops: np.ndarray, genome_row: np.ndarray,
     replaced by the genome letter (same case rule)."""
     from shrimp_tpu import dna
 
-    d_chars: list[str] = []
-    q_chars: list[str] = []
-    gi = int(genome_start)
-    ri = int(read_start)
-    for o in ops:
-        o = int(o)
-        typ = o & 3
-        k = (o >> 2) & 3
-        xov = bool(o & OP_XOVER)
-        if typ == OP_INS:
-            d_chars.append(chr(dna.LS_CHARS[int(genome_row[gi]) & 15]))
-            q_chars.append("-")
-            gi += 1
-            continue
-        qc = chr(dna.LS_CHARS[int(qr4_row[k, ri]) & 15])
-        if typ == OP_MATCH:
-            dc = chr(dna.LS_CHARS[int(genome_row[gi]) & 15])
-            d_chars.append(dc)
-            if qc in "Nn":
-                qc = dc
-            q_chars.append(qc.lower() if xov else qc)
-            gi += 1
-            ri += 1
-        else:  # OP_DEL: read char vs genome gap
-            d_chars.append("-")
-            q_chars.append(qc.lower() if xov else qc)
-            ri += 1
-    return "".join(d_chars), "".join(q_chars)
+    ops = np.asarray(ops, dtype=np.int32)
+    typ = ops & 3
+    k = (ops >> 2) & 3
+    xov = (ops & OP_XOVER) != 0
+    consumes_g = typ != OP_DEL
+    consumes_r = typ != OP_INS
+    gi = int(genome_start) + np.cumsum(consumes_g) - consumes_g
+    ri = int(read_start) + np.cumsum(consumes_r) - consumes_r
+    gcode = np.asarray(genome_row)[np.minimum(gi, len(genome_row) - 1)] & 15
+    dch = dna.LS_CHARS[gcode]
+    dch = np.where(consumes_g, dch, np.uint8(ord("-")))
+    qr4_row = np.asarray(qr4_row)
+    qcode = qr4_row[k, np.minimum(ri, qr4_row.shape[1] - 1)] & 15
+    # N read letters in match columns copy the genome letter
+    qcode = np.where((typ == OP_MATCH) & (qcode == 15), gcode, qcode)
+    qch = dna.LS_CHARS[qcode]
+    qch = np.where(xov, qch + 32, qch)           # lowercase crossovers
+    qch = np.where(consumes_r, qch, np.uint8(ord("-")))
+    return (dch.astype(np.uint8).tobytes().decode("ascii"),
+            qch.astype(np.uint8).tobytes().decode("ascii"))
 
 
 # ---------------------------------------------------------------------------

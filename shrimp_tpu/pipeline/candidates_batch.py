@@ -87,12 +87,18 @@ def mapidx_batch(entries: list[ReadEntry], idx: GenomeIndex,
         valid = starts + seed.span <= rlen[:, None]
         if seed.positions is not None:
             valid &= np.isin(starts - minpos[:, None], seed.positions)
-        acc = np.zeros((B, K), np.uint64)
-        cs = np.clip(starts, 0, Rmax - 1)
-        for k, o in enumerate(seed.ones_idx):
-            col = np.clip(cs + o, 0, Rmax - 1)
-            acc |= ((np.take_along_axis(codes, col, axis=1).astype(np.uint64))
-                    & np.uint64(3)) << np.uint64(2 * k)
+        # one fancy gather over a strided window view instead of a
+        # take_along_axis per seed position (invalid slots masked below)
+        win = np.lib.stride_tricks.sliding_window_view(codes, seed.span,
+                                                       axis=1)
+        K0 = win.shape[1]
+        row_idx = np.minimum(starts, K0 - 1)
+        sel = win[np.arange(B)[:, None, None], row_idx[:, :, None],
+                  np.asarray(seed.ones_idx)[None, None, :]]
+        shifts = (2 * np.arange(len(seed.ones_idx), dtype=np.uint64))
+        acc = np.bitwise_or.reduce(
+            (sel.astype(np.uint64) & np.uint64(3)) << shifts[None, None, :],
+            axis=2)
         if idx.seed_set.use_hashing:
             from shrimp_tpu.index import _mix64, HASH_BITS
             acc = _mix64(acc) & np.uint64((1 << HASH_BITS) - 1)
