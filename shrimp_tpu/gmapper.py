@@ -52,7 +52,6 @@ _LONG = [
 ]
 
 _UNSUPPORTED = {
-    "--paired-options": "experimental multi-set paired option strings",
     "--enable-seed-qual-filter": "seed quality filter",
 }
 
@@ -136,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
     no_improper = False
     mirna = False
     unpaired_option_sets = []
+    paired_option_sets = []
     shrimp_format = False
     rflag = False
     pflag = False
@@ -243,8 +243,24 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
             from shrimp_tpu.pipeline.options import \
                 parse_read_mapping_options
+            if paired_option_sets:
+                cfg.half_paired = True    # gmapper.c:2207
             unpaired_option_sets.append(
                 parse_read_mapping_options(rest, is_paired=False))
+        elif o == "--paired-options":
+            # gmapper.c:2181-2199 (case 28); pair_mode comes from set 0
+            from shrimp_tpu.pipeline.options import \
+                parse_readpair_mapping_options
+            if unpaired_option_sets:
+                log("warning: unpaired mapping options set before paired "
+                    "mapping options! the latter take precedence.")
+                cfg.half_paired = True
+            try:
+                paired_option_sets.append(parse_readpair_mapping_options(a))
+            except (ValueError, IndexError):
+                log(f"error: invalid paired mapping options:[{a}]")
+                return 1
+            pair_mode = paired_option_sets[0].pairing.pair_mode
         elif o in ("-Q", "--fastq"):
             fastq = True
         elif o in ("-T", "--rev-tiebreak"):
@@ -484,8 +500,10 @@ def main(argv: list[str] | None = None) -> int:
         if hasattr(pcfg, "improper_mappings"):
             pcfg.improper_mappings = not no_improper
         mapper = PairedMapper(idx, cfg, pcfg)
+        paired_popts = [mapper._popts_from(rpo) for rpo in paired_option_sets]
     else:
         mapper = Mapper(idx, cfg)
+        paired_popts = []
 
     def trim_rec(rec):
         if trim_front or trim_end:
@@ -560,7 +578,8 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 pairs.append(((r1.name, r1.seq, r1.qual),
                               (r2.name, r2.seq, r2.qual)))
-            results = mapper.map_pair_batch(pairs)
+            results = mapper.map_pair_batch(
+                pairs, option_sets=paired_popts or None)
             for pr in results:
                 n_reads += 2
                 got = bool(pr.paired_hits or pr.unpaired_hits)

@@ -141,11 +141,77 @@ def region_has2_filter(rid: np.ndarray, x: np.ndarray,
     return ok_main | ok_prev
 
 
-def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
-                  collapse: bool = True,
-                  list_cutoff: int = 0xFFFFFFFF,
-                  use_region_counts: bool = False) -> AnchorBatch:
-    """Build the merged anchor lists for all reads on one strand."""
+def region_visits(rid: np.ndarray, x: np.ndarray,
+                  region_bits: int = REGION_BITS,
+                  region_overlap: int = REGION_OVERLAP):
+    """Per-(read, region) visit counts from raw posting entries
+    (read_get_region_counts, mapping.c:475-540): each entry visits its
+    region, plus the previous one when within region_overlap of the region
+    start.  Returns (sorted unique keys rid<<24|region, counts)."""
+    reg = x >> region_bits
+    off = x & ((1 << region_bits) - 1)
+    key = (rid.astype(np.int64) << 24) | reg
+    ext = (off < region_overlap) & (reg > 0)
+    all_keys = np.concatenate([key, key[ext] - 1])
+    return np.unique(all_keys, return_counts=True)
+
+
+def _lookup_counts(keys: np.ndarray, counts: np.ndarray,
+                   q: np.ndarray) -> np.ndarray:
+    if len(keys) == 0:
+        return np.zeros(len(q), np.int64)
+    i = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+    return np.where(keys[i] == q, counts[i], 0)
+
+
+def region_mp_filter(rid: np.ndarray, x: np.ndarray, own, mate,
+                     dmin_r: np.ndarray, dmax_r: np.ndarray, mode: int,
+                     region_bits: int = REGION_BITS,
+                     region_overlap: int = REGION_OVERLAP) -> np.ndarray:
+    """Mate-pair region-count pruning (advance_index_in_genomemap with
+    use_mp_region_counts != 0, mapping.c:682-748).
+
+    own / mate: (keys, counts) from `region_visits` for this read-strand
+    and for the mate's opposite strand.  dmin_r/dmax_r: per-read region
+    deltas (readpair_compute_mp_ranges' delta_region, indexed by rid).
+    count_main = 2 if the own region has >= 2 visits else 1; count_mp is the
+    max mate count (capped at 2) over [region+dmin_r, region+dmax_r].
+    Keep modes: 1 = main>=2 AND mp>=2; 2 = main>=2 OR mp>=2;
+    3 = mp>=1 AND main+mp>=3.  An anchor near the region start may also
+    qualify via the previous region."""
+    mkeys, mcounts = mate
+    okeys, ocounts = own
+    reg = x >> region_bits
+    off = x & ((1 << region_bits) - 1)
+    lo = dmin_r[rid]
+    hi = dmax_r[rid]
+
+    def cond(regq):
+        key = (rid.astype(np.int64) << 24) | regq
+        count_main = np.where(_lookup_counts(okeys, ocounts, key) >= 2, 2, 1)
+        count_mp = np.zeros(len(key), np.int64)
+        omin, omax = int(lo.min()), int(hi.max())
+        for o in range(omin, omax + 1):
+            valid = (lo <= o) & (o <= hi) & (regq + o >= 0)
+            c = np.minimum(_lookup_counts(mkeys, mcounts, key + o), 2)
+            count_mp = np.maximum(count_mp, np.where(valid, c, 0))
+        if mode == 1:
+            return (count_main >= 2) & (count_mp >= 2)
+        if mode == 2:
+            return (count_main >= 2) | (count_mp >= 2)
+        return (count_mp >= 1) & (count_main + count_mp >= 3)
+
+    keep = cond(reg)
+    ext = (off < region_overlap) & (reg > 0)
+    if ext.any():
+        keep |= ext & cond(reg - 1)
+    return keep
+
+
+def expand_postings(entries: list[ReadEntry], idx: GenomeIndex, st: int,
+                    list_cutoff: int = 0xFFFFFFFF):
+    """Raw posting-list expansion for one strand: returns (rid, x, y, ln)
+    flat arrays across all seeds (unsorted)."""
     mapidxs = mapidx_batch(entries, idx, st)
     B = len(entries)
     rid_parts, x_parts, y_parts, ln_parts = [], [], [], []
@@ -185,20 +251,36 @@ def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
     if not x_parts:
         z = np.zeros(0, np.int64)
         z32 = np.zeros(0, np.int32)
-        return AnchorBatch(z32, np.zeros(0, np.int8), z, z32, z32, z32, z32)
+        return (z32, z, z32.copy(), z32.copy())
+    return (np.concatenate(rid_parts), np.concatenate(x_parts),
+            np.concatenate(y_parts), np.concatenate(ln_parts))
 
-    rid = np.concatenate(rid_parts)
-    x = np.concatenate(x_parts)
-    y = np.concatenate(y_parts)
-    ln = np.concatenate(ln_parts)
 
-    if use_region_counts and len(x):
+def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
+                  collapse: bool = True,
+                  list_cutoff: int = 0xFFFFFFFF,
+                  use_region_counts: bool = False,
+                  postings=None,
+                  region_filter=None) -> AnchorBatch:
+    """Build the merged anchor lists for all reads on one strand.
+
+    postings: precomputed `expand_postings` result (avoids re-expansion);
+    region_filter: keep-mask callable(rid, x) overriding the default has-2
+    region filter (used for mate-pair region counts)."""
+    if postings is None:
+        postings = expand_postings(entries, idx, st, list_cutoff)
+    rid, x, y, ln = postings
+
+    if len(x) and region_filter is not None:
+        keep = region_filter(rid, x)
+        rid, x, y, ln = rid[keep], x[keep], y[keep], ln[keep]
+    elif use_region_counts and len(x):
         keep = region_has2_filter(rid, x)
         rid, x, y, ln = rid[keep], x[keep], y[keep], ln[keep]
-        if not len(x):
-            z = np.zeros(0, np.int64)
-            z32 = np.zeros(0, np.int32)
-            return AnchorBatch(z32, np.zeros(0, np.int8), z, z32, z32, z32, z32)
+    if not len(x):
+        z = np.zeros(0, np.int64)
+        z32 = np.zeros(0, np.int32)
+        return AnchorBatch(z32, np.zeros(0, np.int8), z, z32, z32, z32, z32)
 
     # single combined-key stable sort ((rid, x) lexsort equivalent):
     # x < 2^40 (1 Tbp genomes), rid < 2^23

@@ -167,6 +167,71 @@ def _parse_bool(tok: str) -> bool:
     raise ValueError(f"invalid bool {tok!r}")
 
 
+@dataclass
+class PairingOptions:
+    """pairing_options (gmapper/gmapper-definitions.h:280-297)."""
+
+    pair_mode: int = 0                # PAIR_NONE
+    min_insert_size: int = 50         # DEF_MIN_INSERT_SIZE
+    max_insert_size: int = 2000       # DEF_MAX_INSERT_SIZE
+    pass1_num_outputs: int = 30
+    pass1_threshold: float = 50.0
+    pass2_num_outputs: int = 10
+    pass2_threshold: float = 50.0
+    stop_count: int = 0
+    stop_threshold: float = 50.0
+    strata: bool = False
+    save_outputs: bool = True
+
+
+@dataclass
+class ReadPairMappingOptions:
+    """readpair_mapping_options_t (gmapper-definitions.h:299-305)."""
+
+    pairing: PairingOptions = field(default_factory=PairingOptions)
+    read: tuple[ReadMappingOptions, ReadMappingOptions] = field(
+        default_factory=lambda: (ReadMappingOptions(), ReadMappingOptions()))
+
+
+PAIR_MODE_NAMES = {"none": 0, "opp-in": 1, "opp-out": 2,
+                   "col-fw": 3, "col-bw": 4}
+
+
+def parse_pairing_options(text: str) -> PairingOptions:
+    """get_pairing_options (gmapper.c:1586-1616): comma-separated
+    pair_mode,min_ins,max_ins,p1_num,p1_thr,p2_num,p2_thr,stop_cnt,stop_thr,
+    strata,save_outputs."""
+    f = text.split(",")
+    if f[0] not in PAIR_MODE_NAMES:
+        raise ValueError(f"invalid pair mode {f[0]!r}")
+    return PairingOptions(
+        pair_mode=PAIR_MODE_NAMES[f[0]],
+        min_insert_size=int(f[1]),
+        max_insert_size=int(f[2]),
+        pass1_num_outputs=int(f[3]),
+        pass1_threshold=_parse_threshold(f[4]),
+        pass2_num_outputs=int(f[5]),
+        pass2_threshold=_parse_threshold(f[6]),
+        stop_count=int(f[7]),
+        stop_threshold=_parse_threshold(f[8]),
+        strata=_parse_bool(f[9]),
+        save_outputs=_parse_bool(f[10]),
+    )
+
+
+def parse_readpair_mapping_options(text: str) -> ReadPairMappingOptions:
+    """--paired-options string: '<pairing>;<read0>;<read1>'
+    (gmapper.c:2181-2199, case 28)."""
+    parts = text.split(";")
+    if len(parts) != 3:
+        raise ValueError("paired options need 3 ';'-separated sections")
+    return ReadPairMappingOptions(
+        pairing=parse_pairing_options(parts[0]),
+        read=(parse_read_mapping_options(parts[1], is_paired=True),
+              parse_read_mapping_options(parts[2], is_paired=True)),
+    )
+
+
 def parse_read_mapping_options(text: str,
                                is_paired: bool = False) -> ReadMappingOptions:
     """The experimental option-set string grammar (get_read_mapping_options,

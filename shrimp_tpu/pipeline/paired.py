@@ -133,13 +133,18 @@ class PairedMapper(Mapper):
         self.pcfg = pcfg or PairedConfig()
 
     # ------------------------------------------------------------------
-    def map_pair_batch(self, pairs) -> list[PairResult]:
-        """Map a batch of read pairs.
+    def map_pair_batch(self, pairs, option_sets=None) -> list[PairResult]:
+        """Map a batch of read pairs through the option-set rounds
+        (handle_readpair's do/while, mapping.c:2486-2568).
 
         pairs: list of ((name, seq, qual), (name, seq, qual)).
+        option_sets: list of popts dicts (see `_popts_from` /
+        `default_paired_sets`); None = the default single set.
         """
         cfg = self.cfg
         pcfg = self.pcfg
+        sets = (option_sets if option_sets is not None
+                else self.default_paired_sets())
         rev1, rev2 = PAIR_REVERSE[pcfg.pair_mode]
 
         entries1, entries2 = [], []
@@ -161,63 +166,114 @@ class PairedMapper(Mapper):
         results = [PairResult(re=[entries1[i], entries2[i]])
                    for i in range(P)]
 
-        popts = self._paired_options()
-        ropts = popts["read"]
+        # pairs still falling through the option sets (done == false)
+        alive = np.ones(P, bool)
+        hits: dict[int, cb.HitBatch | None] = {0: None, 1: None}
+        saved_rows: dict[int, set] = {0: set(), 1: set()}
+        sv = {0: None, 1: None}
+        sv_true = {0: None, 1: None}
 
-        # ---- candidates for all 4 (side, strand) streams ----
-        hits = {}
-        for side, entries in ((0, entries1), (1, entries2)):
-            per = []
-            for st in (0, 1):
-                if not (cfg.strand_mask >> st) & 1:
+        for popts in sets:
+            if not alive.any():
+                break
+            pairing = popts["pairing"]
+            rsides = popts["read"]
+
+            # ---- candidates per side (restricted to alive pairs) ----
+            fresh = {0: False, 1: False}
+            for side, entries in ((0, entries1), (1, entries2)):
+                ro = rsides[side]
+                if hits[side] is not None and not ro["recompute_candidates"]:
                     continue
-                ab = cb.anchors_batch(
-                    entries, self.index, st,
-                    collapse=True,
-                    list_cutoff=self.index.list_cutoff,
-                    use_region_counts=ropts["use_region_counts"])
-                per.append(cb.hit_list_batch(entries, self.index, ab,
-                                             ropts["hit_list"], cfg))
-            hits[side] = cb.HitBatch(**{
-                f: np.concatenate([getattr(h, f) for h in per])
-                for f in ("rid", "st", "cn", "g_off", "w_len",
-                          "score_window_gen", "matches", "score_max",
-                          "anchor_x", "anchor_y", "anchor_length",
-                          "anchor_width")})
+                fresh[side] = True
+                live_idx = np.flatnonzero(alive)
+                live = [entries[i] for i in live_idx]
+                per = []
+                for st in (0, 1):
+                    if not (cfg.strand_mask >> st) & 1:
+                        continue
+                    ab = cb.anchors_batch(
+                        live, self.index, st,
+                        collapse=ro["collapse"],
+                        list_cutoff=self.index.list_cutoff,
+                        use_region_counts=ro["use_region_counts"])
+                    per.append(cb.hit_list_batch(live, self.index, ab,
+                                                 ro["hit_list"], cfg))
+                hb = cb.HitBatch(**{
+                    f: np.concatenate([getattr(h, f) for h in per])
+                    for f in ("rid", "st", "cn", "g_off", "w_len",
+                              "score_window_gen", "matches", "score_max",
+                              "anchor_x", "anchor_y", "anchor_length",
+                              "anchor_width")})
+                hb.rid = live_idx[hb.rid].astype(np.int32)  # full-rid space
+                hits[side] = hb
+                # a recomputed hit list frees the previous rounds' saved
+                # flags (read_free_hit_list, mapping.c:2516-2524)
+                saved_rows[side] = set()
 
-        # ---- pair up hits (readpair_pair_up_hits) ----
-        pair_rows = self._pair_up(entries1, entries2, hits, pcfg)
+            # ---- pair up hits under this set's insert range ----
+            pair_rows = self._pair_up(entries1, entries2, hits,
+                                      pcfg.pair_mode,
+                                      pairing["min_insert"],
+                                      pairing["max_insert"], alive)
 
-        # ---- pass1 vector scores for hits participating in pairs ----
-        sv = {}
-        sv_true = {}
-        for side, entries, istrand in ((0, entries1, input_strand1),
-                                       (1, entries2, input_strand2)):
-            sv[side], sv_true[side] = self._paired_pass1(
-                entries, istrand, hits[side], pair_rows[f"in_pair_{side}"],
-                ropts)
+            # ---- pass1 vector scores for hits participating in pairs.
+            # pass1.recompute=false keeps the previous round's per-hit
+            # scores (read_pass1 skipped, mapping.c:2528-2533); a fresh hit
+            # list forces recomputation regardless (stale scores would be
+            # uninitialized in the reference) ----
+            for side, entries, istrand in ((0, entries1, input_strand1),
+                                           (1, entries2, input_strand2)):
+                if (sv[side] is not None and not fresh[side]
+                        and not rsides[side].get("recompute_pass1", True)):
+                    continue
+                prev = (None if fresh[side] or sv[side] is None
+                        else (sv[side], sv_true[side]))
+                sv[side], sv_true[side] = self._paired_pass1(
+                    entries, istrand, hits[side],
+                    pair_rows[f"in_pair_{side}"], rsides[side],
+                    prev=prev, saved_rows=saved_rows[side])
 
-        # ---- paired vector-hit selection (readpair_get_vector_hits) ----
-        sel_pairs = self._select_vector_pairs(hits, sv, pair_rows, popts)
+            # ---- paired vector-hit selection + paired pass2 ----
+            sel_pairs = self._select_vector_pairs(hits, sv, pair_rows, popts,
+                                                  saved_rows=saved_rows)
+            paired_final, saved = self._paired_pass2(
+                entries1, entries2, input_strand1, input_strand2,
+                hits, sv_true, sel_pairs, popts)
+            saved_rows[0] |= saved[0]
+            saved_rows[1] |= saved[1]
 
-        # ---- paired pass2 ----
-        paired_final, saved_hits = self._paired_pass2(
-            entries1, entries2, input_strand1, input_strand2,
-            hits, sv_true, sel_pairs, popts)
+            # ---- accumulate outputs + stop condition (readpair_pass2 tail,
+            # mapping.c:2264-2278) ----
+            for r, lst in paired_final.items():
+                results[r].paired_hits.extend(lst)
+            if pairing["stop_count"] == 0:
+                alive[:] = False
+            else:
+                for r in np.flatnonzero(alive):
+                    cnt = 0
+                    for fh0, fh1, _ in paired_final.get(int(r), []):
+                        smax = fh0.score_max + fh1.score_max
+                        if fh0.score_full + fh1.score_full >= \
+                           int(abs_or_pct(pairing["stop_threshold"], smax)):
+                            cnt += 1
+                    if cnt >= pairing["stop_count"]:
+                        alive[r] = False
 
-        # ---- half-paired unpaired rounds ----
+        # ---- half-paired unpaired rounds for fell-through pairs
+        # (mapping.c:2572-2576) ----
         unpaired_final = {0: {}, 1: {}}
-        if cfg.half_paired:
+        if cfg.half_paired and alive.any():
+            fb = self._fallback_ropts()
             for side, entries, istrand in ((0, entries1, input_strand1),
                                            (1, entries2, input_strand2)):
                 unpaired_final[side] = self._halfpaired_unpaired(
                     entries, istrand, hits[side], sv[side],
-                    saved_hits[side], ropts)
+                    saved_rows[side], fb, alive)
 
         # ---- assemble + MQV + package ----
         for pi in range(P):
             pr = results[pi]
-            pr.paired_hits = paired_final.get(pi, [])
             for side in (0, 1):
                 for fh in unpaired_final[side].get(pi, []):
                     pr.unpaired_hits.append((side, fh))
@@ -226,40 +282,93 @@ class PairedMapper(Mapper):
         return results
 
     # ------------------------------------------------------------------
-    def _paired_options(self):
-        """Default paired option set (gmapper.c:2634-2716)."""
+    def default_paired_sets(self):
+        """Default single paired option set (gmapper.c:2634-2716): with
+        half_paired the stop threshold is an unattainable 101%, so every
+        pair falls through to the unpaired rounds."""
         cfg = self.cfg
         mm = self.pcfg.match_mode
         sw_vect_threshold = cfg.vect_threshold()
         sw_full_threshold = cfg.sw_full_threshold
-        hl = __import__("shrimp_tpu.pipeline.options",
-                        fromlist=["HitListOptions"]).HitListOptions(
+        from shrimp_tpu.pipeline.options import HitListOptions
+        hl = HitListOptions(
             gapless=cfg.gapless,
             match_mode=(2 if mm == 4 else 3 if mm == 3 else 1),
             threshold=cfg.window_gen_threshold)
-        return {
+        rd = {
+            "recompute_candidates": True,
+            "recompute_pass1": True,
+            "collapse": True,
+            "use_region_counts": cfg.use_regions and mm != 2,
+            "hit_list": hl,
+            "pass1_threshold": sw_vect_threshold,
+            "pass1_min_matches": 2 if mm == 4 else 1,
+            "pass2_threshold": sw_full_threshold * 0.5,
+            "window_overlap": cfg.window_overlap,
+        }
+        return [{
             "pairing": {
+                "min_insert": self.pcfg.min_insert_size,
+                "max_insert": self.pcfg.max_insert_size,
                 "pass1_threshold": sw_vect_threshold,
                 "pass2_threshold": sw_full_threshold,
                 "pass1_num_outputs": 3 * cfg.num_outputs,
                 "pass2_num_outputs": cfg.num_outputs,
                 "strata": cfg.strata,
+                "stop_count": 1 if cfg.half_paired else 0,
+                "stop_threshold": 101.0,
             },
-            "read": {
-                "use_region_counts": cfg.use_regions and mm != 2,
-                "hit_list": hl,
-                "pass1_threshold": sw_vect_threshold,
-                "pass1_min_matches": 2 if mm == 4 else 1,
-                "pass2_threshold": sw_full_threshold * 0.5,
-                "window_overlap": cfg.window_overlap,
+            "read": (rd, rd),
+        }]
+
+    def _popts_from(self, rpo):
+        """Convert a parsed ReadPairMappingOptions (--paired-options string)
+        into the internal popts dict."""
+        def rd(ro):
+            return {
+                "recompute_candidates": (ro.anchor_list.recompute
+                                         or ro.hit_list.recompute),
+                "recompute_pass1": ro.pass1.recompute,
+                "collapse": ro.anchor_list.collapse,
+                "use_region_counts": ro.anchor_list.use_region_counts,
+                "hit_list": ro.hit_list,
+                "pass1_threshold": ro.pass1.threshold,
+                "pass1_min_matches": ro.pass1.min_matches,
+                "pass2_threshold": ro.pass2.threshold,
+                "window_overlap": ro.pass1.window_overlap,
+            }
+        return {
+            "pairing": {
+                "min_insert": rpo.pairing.min_insert_size,
+                "max_insert": rpo.pairing.max_insert_size,
+                "pass1_threshold": rpo.pairing.pass1_threshold,
+                "pass2_threshold": rpo.pairing.pass2_threshold,
+                "pass1_num_outputs": rpo.pairing.pass1_num_outputs,
+                "pass2_num_outputs": rpo.pairing.pass2_num_outputs,
+                "strata": rpo.pairing.strata,
+                "stop_count": rpo.pairing.stop_count,
+                "stop_threshold": rpo.pairing.stop_threshold,
             },
+            "read": (rd(rpo.read[0]), rd(rpo.read[1])),
+        }
+
+    def _fallback_ropts(self):
+        """Options for the half-paired unpaired fallback rounds
+        (gmapper.c:2684-2712: min_matches 2, vector threshold, reuse of the
+        last paired round's hit lists)."""
+        return {
+            "pass1_threshold": self.cfg.vect_threshold(),
+            "pass1_min_matches": 2,
+            "window_overlap": self.cfg.window_overlap,
         }
 
     # ------------------------------------------------------------------
-    def _pair_up(self, entries1, entries2, hits, pcfg):
+    def _pair_up(self, entries1, entries2, hits, pair_mode, min_insert,
+                 max_insert, alive=None):
         """Vectorized readpair_pair_up_hits: for each re1 hit on strand st,
         the mate candidates are re2 hits on strand 1-st within
-        [g_off + dmin, g_off + dmax], same contig."""
+        [g_off + dmin, g_off + dmax], same contig.  Rows of pairs not in
+        `alive` get no mate range (they are no longer being mapped)."""
         h0, h1 = hits[0], hits[1]
         n0 = h0.n
         pair_min = np.full(n0, -1, np.int64)
@@ -272,10 +381,10 @@ class PairedMapper(Mapper):
         dmax = np.zeros((P, 2), np.int64)
         for pi in range(P):
             d1, _ = compute_mp_deltas(
-                pcfg.pair_mode,
+                pair_mode,
                 entries1[pi].read_len, entries1[pi].window_len,
                 entries2[pi].read_len, entries2[pi].window_len,
-                pcfg.min_insert_size, pcfg.max_insert_size)
+                min_insert, max_insert)
             dmin[pi, 0], dmax[pi, 0] = d1[0]
             dmin[pi, 1], dmax[pi, 1] = d1[1]
 
@@ -302,6 +411,8 @@ class PairedMapper(Mapper):
         lo = np.searchsorted(skey, lo_t, side="left")
         hi = np.searchsorted(skey, hi_t, side="right")
         has = hi > lo
+        if alive is not None:
+            has &= alive[h0.rid]
         pair_min = np.where(has, lo, -1)
         pair_max = np.where(has, hi - 1, -1)
         # mark mate rows that participate (range-union via diff array)
@@ -319,27 +430,51 @@ class PairedMapper(Mapper):
         }
 
     # ------------------------------------------------------------------
-    def _paired_pass1(self, entries, istrand, hb, in_pair, ropts):
+    def _paired_pass1(self, entries, istrand, hb, in_pair, ropts,
+                      prev=None, saved_rows=()):
         """Vector SW scores + suppression for hits participating in pairs
-        (read_pass1 with only_paired=true).
+        (read_pass1 with only_paired=true, mapping.c:1282-1360).
 
         Returns (eff_scores, true_scores): eff has suppressed windows zeroed
         (drives pair keys); true is the raw vector score (pass2 re-runs the
         vector kernel per foot, so suppression does not gate full SW —
-        hit_run_full_sw, mapping.c:400-415)."""
+        hit_run_full_sw, mapping.c:400-415).
+
+        Multi-round semantics: `prev` = (eff, true) from the previous round
+        over the SAME hit list.  Hits whose persisted score is already > 0
+        are not rescored and do NOT become last_good (the rescore branch is
+        skipped, mapping.c:1316-1356); saved hits update last_good
+        unconditionally; suppression overwrites the score to 0 permanently."""
         cfg = self.cfg
-        scores = np.full(hb.n, -1, np.int64)
-        true_scores = np.full(hb.n, -1, np.int64)
+        if prev is not None:
+            scores = prev[0].copy()
+            true_scores = prev[1].copy()
+        else:
+            scores = np.full(hb.n, -1, np.int64)
+            true_scores = np.full(hb.n, -1, np.int64)
         keep = in_pair & (hb.matches >= ropts["pass1_min_matches"])
         idxs = np.flatnonzero(keep)
         if not len(idxs):
             return scores, true_scores
-        G = _round_up(max(1, int(hb.w_len[idxs].max())), 32)
-        R = _round_up(max(e.read_len for e in entries), 32)
-        NB = _bucket_rows(len(idxs))
-        sc = self._vector_scores(
-            entries, hb.rid[idxs], hb.st[idxs], hb.cn[idxs], hb.g_off[idxs],
-            hb.w_len[idxs], np.full(len(idxs), istrand, np.int8), G, R, NB)
+        saved_mask = np.zeros(len(idxs), bool)
+        if saved_rows:
+            saved_mask = np.isin(idxs, np.fromiter(saved_rows, np.int64))
+        prev_eff = scores[idxs]
+        need = (prev_eff <= 0) & ~saved_mask if prev is not None \
+            else ~saved_mask
+        sc = prev_eff.copy()
+        sc_true = true_scores[idxs].copy()
+        if need.any():
+            nrows = idxs[need]
+            G = _round_up(max(1, int(hb.w_len[nrows].max())), 32)
+            R = _round_up(max(e.read_len for e in entries), 32)
+            NB = _bucket_rows(len(nrows))
+            fresh_sc = self._vector_scores(
+                entries, hb.rid[nrows], hb.st[nrows], hb.cn[nrows],
+                hb.g_off[nrows], hb.w_len[nrows],
+                np.full(len(nrows), istrand, np.int8), G, R, NB)
+            sc[need] = fresh_sc
+            sc_true[need] = fresh_sc
 
         # suppression scan per (rid, st) over participating hits in order
         score_max = hb.score_max[idxs].astype(np.int64)
@@ -349,33 +484,45 @@ class PairedMapper(Mapper):
         wlen_cfg = np.array([e.window_len for e in entries], np.int64)
         order = np.lexsort((np.arange(len(idxs)), hb.st[idxs], hb.rid[idxs]))
         lg = -1
-        prev = None
+        prev_key = None
         eff = sc.copy()
         for n in order:
             r, s = hb.rid[idxs[n]], hb.st[idxs[n]]
-            if (r, s) != prev:
+            if (r, s) != prev_key:
                 lg = -1
-                prev = (r, s)
+                prev_key = (r, s)
+            if saved_mask[n]:
+                lg = n
+                continue
             if lg >= 0 and hb.cn[idxs[n]] == hb.cn[idxs[lg]] \
                and (hb.g_off[idxs[n]]
                     + int(abs_or_pct(ropts["window_overlap"], wlen_cfg[r]))
                     <= hb.g_off[idxs[lg]] + wlen_cfg[r]):
                 eff[n] = 0
                 continue
+            if not need[n]:
+                continue            # persisted > 0: no last_good update
             if sc[n] >= thr[n]:
                 lg = n
         scores[idxs] = eff
-        true_scores[idxs] = sc
+        true_scores[idxs] = sc_true
         return scores, true_scores
 
     # ------------------------------------------------------------------
-    def _select_vector_pairs(self, hits, sv, pair_rows, popts):
+    def _select_vector_pairs(self, hits, sv, pair_rows, popts,
+                             saved_rows=None):
         """readpair_get_vector_hits: enumerate candidate pairs, threshold on
-        summed vector score, keep top pass1_num_outputs per read pair."""
+        summed vector score, keep top pass1_num_outputs per read pair.
+        Hits saved by an earlier option-set round are skipped on both sides
+        (mapping.c:1911-1916)."""
         h0, h1 = hits[0], hits[1]
         pm, px = pair_rows["pair_min"], pair_rows["pair_max"]
         order1 = pair_rows["order1"]
-        rows0 = np.flatnonzero((pm >= 0) & (sv[0] >= 0))
+        live0 = (pm >= 0) & (sv[0] >= 0)
+        if saved_rows is not None and saved_rows[0]:
+            live0 &= ~np.isin(np.arange(h0.n),
+                              np.fromiter(saved_rows[0], np.int64))
+        rows0 = np.flatnonzero(live0)
         if not len(rows0):
             return {}
         counts = (px[rows0] - pm[rows0] + 1)
@@ -389,6 +536,8 @@ class PairedMapper(Mapper):
         s0 = sv[0][i0]
         s1 = sv[1][j1]
         ok = (s0 >= 0) & (s1 >= 0)
+        if saved_rows is not None and saved_rows[1]:
+            ok &= ~np.isin(j1, np.fromiter(saved_rows[1], np.int64))
         i0, j1 = i0[ok], j1[ok]
         s0, s1 = s0[ok], s1[ok]
         score = s0 + s1
@@ -562,16 +711,16 @@ class PairedMapper(Mapper):
         cfg = self.cfg
         pcfg = self.pcfg
         # unique feet needing full SW, per side, gated by foot vector thresh
-        foot_thr = popts["read"]["pass2_threshold"]
         need = {0: set(), 1: set()}
         for r, lst in sel_pairs.items():
             for i0, j1, _ in lst:
                 need[0].add(i0)
                 need[1].add(j1)
-        # foot-level vector gate: score_vector >= 25% of score_max
+        # foot-level vector gate: score_vector >= per-side pass2 threshold
         feet = {}
         for side, entries, istrand in ((0, entries1, istrand1),
                                        (1, entries2, istrand2)):
+            foot_thr = popts["read"][side]["pass2_threshold"]
             hb = hits[side]
             rows = sorted(need[side])
             gated = [row for row in rows
@@ -686,13 +835,15 @@ class PairedMapper(Mapper):
 
     # ------------------------------------------------------------------
     def _halfpaired_unpaired(self, entries, istrand, hb, sv_paired,
-                             saved_rows, ropts):
+                             saved_rows, ropts, alive=None):
         """The unpaired fallback rounds: pass1 over ALL hits (reusing hit
-        lists), skipping saved hits in selection, then unpaired pass2."""
+        lists), skipping saved hits in selection, then unpaired pass2.
+        Restricted to fell-through pairs when `alive` is given."""
         cfg = self.cfg
-        # vector scores for all hits with matches >= 2
-        scores = np.full(hb.n, -1, np.int64)
-        keep = hb.matches >= 2
+        # vector scores for all hits with matches >= min_matches (2)
+        keep = hb.matches >= ropts["pass1_min_matches"]
+        if alive is not None:
+            keep &= alive[hb.rid]
         idxs = np.flatnonzero(keep)
         if not len(idxs):
             return {}
@@ -704,7 +855,9 @@ class PairedMapper(Mapper):
             hb.w_len[idxs], np.full(len(idxs), istrand, np.int8), G, R, NB)
 
         score_max = hb.score_max[idxs].astype(np.int64)
-        thr = score_max * (ropts["pass1_threshold"] / 100.0)
+        t1 = ropts["pass1_threshold"]
+        thr = (np.full(len(idxs), -t1) if t1 < 0
+               else score_max * (t1 / 100.0))
         wlen_cfg = np.array([e.window_len for e in entries], np.int64)
         order = np.lexsort((np.arange(len(idxs)), hb.st[idxs], hb.rid[idxs]))
         lg = -1

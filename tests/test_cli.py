@@ -51,9 +51,14 @@ def test_cli_save_load_roundtrip(tmp_path):
 
 
 def test_cli_rejects_unsupported():
-    r = run_cli(["--paired-options", "z", "x.fa", "y.fa"])
+    r = run_cli(["--enable-seed-qual-filter", "x.fa", "y.fa"])
     assert r.returncode == 1
     assert "not supported" in r.stderr
+
+
+def test_cli_rejects_malformed_paired_options():
+    r = run_cli(["--paired-options", "z", "x.fa", "y.fa"])
+    assert r.returncode != 0
 
 
 def test_cli_help():
