@@ -136,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
     mirna = False
     unpaired_option_sets = []
     paired_option_sets = []
+    match_mode_set = False
     shrimp_format = False
     rflag = False
     pflag = False
@@ -160,6 +161,7 @@ def main(argv: list[str] | None = None) -> int:
                               else -float(a))
         elif o in ("-n", "--cmw-mode"):
             cfg.match_mode_unpaired = int(a)
+            match_mode_set = True
         elif o in ("-l", "--cmw-overlap"):
             cfg.window_overlap = (float(a[:-1]) if a.endswith("%")
                                   else -float(a))
@@ -381,6 +383,9 @@ def main(argv: list[str] | None = None) -> int:
         log("warning: window overlap length > 100% of window_length; "
             "resetting to 100%")
         cfg.window_overlap = 100.0
+    if not match_mode_set:
+        # DEF_MATCH_MODE_{UNPAIRED,PAIRED} (gmapper.c:2349-2351)
+        cfg.match_mode_unpaired = 2 if pair_mode == 0 else 4
     mm = cfg.match_mode_unpaired
     if (pair_mode == 0 and not 1 <= mm <= 2) or \
             (pair_mode != 0 and not 2 <= mm <= 4):
@@ -496,7 +501,8 @@ def main(argv: list[str] | None = None) -> int:
                             min_insert_size=isize_min,
                             max_insert_size=isize_max,
                             insert_size_mean=insert_size_mean,
-                            insert_size_stddev=insert_size_stddev)
+                            insert_size_stddev=insert_size_stddev,
+                            match_mode=cfg.match_mode_unpaired)
         if hasattr(pcfg, "improper_mappings"):
             pcfg.improper_mappings = not no_improper
         mapper = PairedMapper(idx, cfg, pcfg)

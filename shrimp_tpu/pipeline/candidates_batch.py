@@ -164,6 +164,41 @@ def _lookup_counts(keys: np.ndarray, counts: np.ndarray,
     return np.where(keys[i] == q, counts[i], 0)
 
 
+def _mp_counts(rid: np.ndarray, regq: np.ndarray, mate,
+               lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Max mate region count (capped at 2) over [regq+lo, regq+hi]."""
+    mkeys, mcounts = mate
+    key = (rid.astype(np.int64) << 24) | regq
+    count_mp = np.zeros(len(key), np.int64)
+    if len(lo) == 0:
+        return count_mp
+    omin, omax = int(lo.min()), int(hi.max())
+    for o in range(omin, omax + 1):
+        valid = (lo <= o) & (o <= hi) & (regq + o >= 0)
+        c = np.minimum(_lookup_counts(mkeys, mcounts, key + o), 2)
+        count_mp = np.maximum(count_mp, np.where(valid, c, 0))
+    return count_mp
+
+
+def mp_heavy_flags(rid: np.ndarray, x: np.ndarray, mate,
+                   dmin_r: np.ndarray, dmax_r: np.ndarray,
+                   region_bits: int = REGION_BITS,
+                   region_overlap: int = REGION_OVERLAP) -> np.ndarray:
+    """Per-anchor heavy_mp flag for hit-list match_mode 3
+    (read_get_hit_list, mapping.c:1108-1119): mate MP count >= 2 for the
+    anchor's region, or for the previous region when within
+    region_overlap of the region start."""
+    reg = x >> region_bits
+    off = x & ((1 << region_bits) - 1)
+    lo = dmin_r[rid]
+    hi = dmax_r[rid]
+    heavy = _mp_counts(rid, reg, mate, lo, hi) >= 2
+    ext = (off < region_overlap) & (reg > 0)
+    if ext.any():
+        heavy |= ext & (_mp_counts(rid, reg - 1, mate, lo, hi) >= 2)
+    return heavy
+
+
 def region_mp_filter(rid: np.ndarray, x: np.ndarray, own, mate,
                      dmin_r: np.ndarray, dmax_r: np.ndarray, mode: int,
                      region_bits: int = REGION_BITS,
@@ -189,12 +224,7 @@ def region_mp_filter(rid: np.ndarray, x: np.ndarray, own, mate,
     def cond(regq):
         key = (rid.astype(np.int64) << 24) | regq
         count_main = np.where(_lookup_counts(okeys, ocounts, key) >= 2, 2, 1)
-        count_mp = np.zeros(len(key), np.int64)
-        omin, omax = int(lo.min()), int(hi.max())
-        for o in range(omin, omax + 1):
-            valid = (lo <= o) & (o <= hi) & (regq + o >= 0)
-            c = np.minimum(_lookup_counts(mkeys, mcounts, key + o), 2)
-            count_mp = np.maximum(count_mp, np.where(valid, c, 0))
+        count_mp = _mp_counts(rid, regq, mate, lo, hi)
         if mode == 1:
             return (count_main >= 2) & (count_mp >= 2)
         if mode == 2:
@@ -327,8 +357,13 @@ def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
 
 def hit_list_batch(entries: list[ReadEntry], idx: GenomeIndex,
                    an: AnchorBatch, options: HitListOptions,
-                   cfg: MapperConfig) -> HitBatch:
-    """Vectorized window generation (read_get_hit_list_per_strand)."""
+                   cfg: MapperConfig,
+                   heavy_mp: np.ndarray | None = None) -> HitBatch:
+    """Vectorized window generation (read_get_hit_list_per_strand).
+
+    heavy_mp: per-anchor mate-heavy flags for match_mode 3 (paired -n 3):
+    heavy anchors bypass the weight-1 exclusion and the window-gen
+    threshold (mapping.c:1108-1185)."""
     n = an.n
     empty32 = np.zeros(0, np.int32)
     if n == 0:
@@ -349,8 +384,11 @@ def hit_list_batch(entries: list[ReadEntry], idx: GenomeIndex,
     gstart = np.where(gend >= wlen_cfg, gend - wlen_cfg, 0)
 
     max_score = an.length.astype(np.int64) * match
-    if not options.gapless and options.match_mode == 2:
-        max_score = np.where(an.weight == 1, -1, max_score)
+    if not options.gapless:
+        if options.match_mode == 2:
+            max_score = np.where(an.weight == 1, -1, max_score)
+        elif options.match_mode == 3 and heavy_mp is not None:
+            max_score = np.where((an.weight == 1) & ~heavy_mp, -1, max_score)
     max_idx = np.arange(n, dtype=np.int64)
 
     if not options.gapless:
@@ -395,6 +433,8 @@ def hit_list_batch(entries: list[ReadEntry], idx: GenomeIndex,
         emit = np.ones(n, bool)
     else:
         emit = max_score >= thr
+        if options.match_mode == 3 and heavy_mp is not None:
+            emit |= heavy_mp
 
     if not emit.any():
         z = np.zeros(0, np.int64)

@@ -181,6 +181,7 @@ class PairedMapper(Mapper):
 
             # ---- candidates per side (restricted to alive pairs) ----
             fresh = {0: False, 1: False}
+            mp_ctx = None
             for side, entries in ((0, entries1), (1, entries2)):
                 ro = rsides[side]
                 if hits[side] is not None and not ro["recompute_candidates"]:
@@ -192,13 +193,38 @@ class PairedMapper(Mapper):
                 for st in (0, 1):
                     if not (cfg.strand_mask >> st) & 1:
                         continue
-                    ab = cb.anchors_batch(
-                        live, self.index, st,
-                        collapse=ro["collapse"],
-                        list_cutoff=self.index.list_cutoff,
-                        use_region_counts=ro["use_region_counts"])
+                    mp_mode = (ro.get("use_mp_region_counts", 0)
+                               if ro["use_region_counts"] else 0)
+                    hl_mode3 = ro["hit_list"].match_mode == 3
+                    heavy = None
+                    if mp_mode or hl_mode3:
+                        if mp_ctx is None:
+                            mp_ctx = self._mp_region_ctx(
+                                entries1, entries2, live_idx, pairing)
+                        dmn = mp_ctx["dmin"][side][:, st]
+                        dmx = mp_ctx["dmax"][side][:, st]
+                        own = mp_ctx["visits"][(side, st)]
+                        mate = mp_ctx["visits"][(1 - side, 1 - st)]
+                    if mp_mode:
+                        ab = cb.anchors_batch(
+                            live, self.index, st,
+                            collapse=ro["collapse"],
+                            list_cutoff=self.index.list_cutoff,
+                            postings=mp_ctx["postings"][(side, st)],
+                            region_filter=lambda rid, x: cb.region_mp_filter(
+                                rid, x, own, mate, dmn, dmx, mp_mode))
+                    else:
+                        ab = cb.anchors_batch(
+                            live, self.index, st,
+                            collapse=ro["collapse"],
+                            list_cutoff=self.index.list_cutoff,
+                            use_region_counts=ro["use_region_counts"])
+                    if hl_mode3:
+                        heavy = cb.mp_heavy_flags(ab.rid, ab.x, mate,
+                                                  dmn, dmx)
                     per.append(cb.hit_list_batch(live, self.index, ab,
-                                                 ro["hit_list"], cfg))
+                                                 ro["hit_list"], cfg,
+                                                 heavy_mp=heavy))
                 hb = cb.HitBatch(**{
                     f: np.concatenate([getattr(h, f) for h in per])
                     for f in ("rid", "st", "cn", "g_off", "w_len",
@@ -237,11 +263,18 @@ class PairedMapper(Mapper):
             # ---- paired vector-hit selection + paired pass2 ----
             sel_pairs = self._select_vector_pairs(hits, sv, pair_rows, popts,
                                                   saved_rows=saved_rows)
-            paired_final, saved = self._paired_pass2(
+            paired_final, saved, attempted = self._paired_pass2(
                 entries1, entries2, input_strand1, input_strand2,
                 hits, sv_true, sel_pairs, popts)
             saved_rows[0] |= saved[0]
             saved_rows[1] |= saved[1]
+            # hit_run_full_sw re-runs the vector kernel and OVERWRITES the
+            # persisted score_vector for every foot attempted in pass2
+            # (mapping.c:400-404) — pass1 suppression on those rows is undone
+            for side in (0, 1):
+                if attempted[side]:
+                    rows = np.fromiter(attempted[side], np.int64)
+                    sv[side][rows] = sv_true[side][rows]
 
             # ---- accumulate outputs + stop condition (readpair_pass2 tail,
             # mapping.c:2264-2278) ----
@@ -282,6 +315,41 @@ class PairedMapper(Mapper):
         return results
 
     # ------------------------------------------------------------------
+    def _mp_region_ctx(self, entries1, entries2, live_idx, pairing):
+        """Shared state for mate-pair region-count pruning: raw postings +
+        region visit counts for all 4 (side, strand) streams, and the
+        per-pair delta_region windows (readpair_compute_mp_ranges tail:
+        floor(dmin/2^bits), ceil(dmax/2^bits))."""
+        postings = {}
+        visits = {}
+        live = {0: [entries1[i] for i in live_idx],
+                1: [entries2[i] for i in live_idx]}
+        for side in (0, 1):
+            for st in (0, 1):
+                p = cb.expand_postings(live[side], self.index, st,
+                                       self.index.list_cutoff)
+                postings[(side, st)] = p
+                visits[(side, st)] = cb.region_visits(p[0], p[1])
+        L = len(live_idx)
+        R = 1 << cb.REGION_BITS
+        dmin = {0: np.zeros((L, 2), np.int64), 1: np.zeros((L, 2), np.int64)}
+        dmax = {0: np.zeros((L, 2), np.int64), 1: np.zeros((L, 2), np.int64)}
+        for li in range(L):
+            e1 = entries1[live_idx[li]]
+            e2 = entries2[live_idx[li]]
+            d1, d2 = compute_mp_deltas(
+                self.pcfg.pair_mode, e1.read_len, e1.window_len,
+                e2.read_len, e2.window_len,
+                pairing["min_insert"], pairing["max_insert"])
+            for st in (0, 1):
+                for s, d in ((0, d1), (1, d2)):
+                    lo, hi = d[st]
+                    dmin[s][li, st] = lo // R
+                    dmax[s][li, st] = -((-hi) // R)
+        return {"postings": postings, "visits": visits,
+                "dmin": dmin, "dmax": dmax}
+
+    # ------------------------------------------------------------------
     def default_paired_sets(self):
         """Default single paired option set (gmapper.c:2634-2716): with
         half_paired the stop threshold is an unattainable 101%, so every
@@ -295,11 +363,19 @@ class PairedMapper(Mapper):
             gapless=cfg.gapless,
             match_mode=(2 if mm == 4 else 3 if mm == 3 else 1),
             threshold=cfg.window_gen_threshold)
+        # gmapper.c:2656-2661 (use_mp_region_counts construction)
+        use_mp = 0
+        if cfg.use_regions:
+            use_mp = (1 if mm == 4 and not cfg.half_paired
+                      else 2 if mm == 3 and cfg.half_paired
+                      else 3 if mm == 3 and not cfg.half_paired
+                      else 0)
         rd = {
             "recompute_candidates": True,
             "recompute_pass1": True,
             "collapse": True,
             "use_region_counts": cfg.use_regions and mm != 2,
+            "use_mp_region_counts": use_mp,
             "hit_list": hl,
             "pass1_threshold": sw_vect_threshold,
             "pass1_min_matches": 2 if mm == 4 else 1,
@@ -331,6 +407,7 @@ class PairedMapper(Mapper):
                 "recompute_pass1": ro.pass1.recompute,
                 "collapse": ro.anchor_list.collapse,
                 "use_region_counts": ro.anchor_list.use_region_counts,
+                "use_mp_region_counts": ro.anchor_list.use_mp_region_counts,
                 "hit_list": ro.hit_list,
                 "pass1_threshold": ro.pass1.threshold,
                 "pass1_min_matches": ro.pass1.min_matches,
@@ -478,7 +555,8 @@ class PairedMapper(Mapper):
 
         # suppression scan per (rid, st) over participating hits in order
         score_max = hb.score_max[idxs].astype(np.int64)
-        thr = (score_max * (ropts["pass1_threshold"] / 100.0)
+        thr = ((score_max * (ropts["pass1_threshold"] / 100.0)).astype(
+                   np.int64)
                if ropts["pass1_threshold"] >= 0
                else np.full(len(idxs), -ropts["pass1_threshold"]))
         wlen_cfg = np.array([e.window_len for e in entries], np.int64)
@@ -778,7 +856,7 @@ class PairedMapper(Mapper):
                         sign = 1 if fh0.gen_st == 1 else -1
                     out.append((fh0, fh1, sign * isz))
                 paired_final[r] = out
-        return paired_final, saved
+        return paired_final, saved, need
 
     # ------------------------------------------------------------------
     def _dedup_pairs(self, cand_pairs):
@@ -845,19 +923,30 @@ class PairedMapper(Mapper):
         if alive is not None:
             keep &= alive[hb.rid]
         idxs = np.flatnonzero(keep)
-        if not len(idxs):
-            return {}
-        G = _round_up(max(1, int(hb.w_len[idxs].max())), 32)
-        R = _round_up(max(e.read_len for e in entries), 32)
-        NB = _bucket_rows(len(idxs))
-        sc = self._vector_scores(
-            entries, hb.rid[idxs], hb.st[idxs], hb.cn[idxs], hb.g_off[idxs],
-            hb.w_len[idxs], np.full(len(idxs), istrand, np.int8), G, R, NB)
+        # hits already scored > 0 in the paired rounds are NOT rescored and
+        # do NOT update last_good (read_pass1_per_strand's rescore branch,
+        # mapping.c:1316-1356); suppressed/unscored hits are scored fresh
+        saved_mask = np.zeros(len(idxs), bool)
+        if saved_rows:
+            saved_mask = np.isin(idxs, np.fromiter(saved_rows, np.int64))
+        prev_eff = (sv_paired[idxs] if sv_paired is not None
+                    else np.full(len(idxs), -1, np.int64))
+        need = (prev_eff <= 0) & ~saved_mask
+        sc = prev_eff.copy()
+        if need.any():
+            nrows = idxs[need]
+            G = _round_up(max(1, int(hb.w_len[nrows].max())), 32)
+            R = _round_up(max(e.read_len for e in entries), 32)
+            NB = _bucket_rows(len(nrows))
+            sc[need] = self._vector_scores(
+                entries, hb.rid[nrows], hb.st[nrows], hb.cn[nrows],
+                hb.g_off[nrows], hb.w_len[nrows],
+                np.full(len(nrows), istrand, np.int8), G, R, NB)
 
         score_max = hb.score_max[idxs].astype(np.int64)
         t1 = ropts["pass1_threshold"]
-        thr = (np.full(len(idxs), -t1) if t1 < 0
-               else score_max * (t1 / 100.0))
+        thr = (np.full(len(idxs), -t1, np.int64) if t1 < 0
+               else (score_max * (t1 / 100.0)).astype(np.int64))
         wlen_cfg = np.array([e.window_len for e in entries], np.int64)
         order = np.lexsort((np.arange(len(idxs)), hb.st[idxs], hb.rid[idxs]))
         lg = -1
@@ -870,7 +959,7 @@ class PairedMapper(Mapper):
                 prev = (r, s)
             # saved hits become last_good unconditionally and are never
             # suppressed (read_pass1_per_strand, mapping.c:1299-1302)
-            if int(idxs[n]) in saved_rows:
+            if saved_mask[n]:
                 lg = n
                 continue
             if lg >= 0 and hb.cn[idxs[n]] == hb.cn[idxs[lg]] \
@@ -879,18 +968,30 @@ class PairedMapper(Mapper):
                     <= hb.g_off[idxs[lg]] + wlen_cfg[r]):
                 eff[n] = 0
                 continue
+            if not need[n]:
+                continue            # persisted > 0: no last_good update
             if sc[n] >= thr[n]:
                 lg = n
 
-        # select top-k unsaved hits per read
-        live = eff >= thr
-        rows_live = idxs[np.flatnonzero(live)]
+        # select top-k unsaved hits per read.  Selection has NO min_matches
+        # gate (read_get_vector_hits, mapping.c:1540-1560): hits below
+        # min_matches keep their persisted paired-round scores and remain
+        # eligible here.
+        scores_full = (sv_paired.copy() if sv_paired is not None
+                       else np.full(hb.n, -1, np.int64))
+        scores_full[idxs] = eff
+        smax_full = hb.score_max.astype(np.int64)
+        thr_full = (np.full(hb.n, -t1, np.int64) if t1 < 0
+                    else (smax_full * (t1 / 100.0)).astype(np.int64))
+        live = scores_full >= thr_full
+        if alive is not None:
+            live &= alive[hb.rid]
+        rows_live = np.flatnonzero(live)
         rows_live = np.array([r for r in rows_live if r not in saved_rows],
                              dtype=np.int64)
         if not len(rows_live):
             return {}
-        eff_map = {int(i): int(e) for i, e in zip(idxs, eff)}
-        pct = np.array([100000 * eff_map[int(r)]
+        pct = np.array([100000 * int(scores_full[r])
                         // int(hb.score_max[r]) for r in rows_live])
         rid = hb.rid[rows_live]
         order2 = np.lexsort((np.arange(len(rows_live)), -pct, rid))
