@@ -256,29 +256,82 @@ def build_index(contigs: list[fastx.Contig], seed_set: SeedSet | None = None,
         genome_cs = np.concatenate(parts).astype(np.int8)
         index_codes = genome_cs
 
-    # windows containing N/X are skipped; windows never span contigs
-    is_n = (index_codes == dna.BASE_N).astype(np.int64)
-    n_csum = np.concatenate(([0], np.cumsum(is_n)))
+    # windows containing N/X are skipped; windows never span contigs.
+    # The cumulative-N / contig-of planes back the NumPy fallback path;
+    # the native path computes validity in one rolling C pass instead.
+    n_csum = None
+    contig_of = None
 
-    contig_of = np.repeat(np.arange(len(contigs)), lens)
+    def _np_valid_planes():
+        nonlocal n_csum, contig_of
+        if n_csum is None:
+            is_n = (index_codes == dna.BASE_N).astype(np.int32)
+            n_csum = np.concatenate(
+                ([0], np.cumsum(is_n, dtype=np.int64)))
+            contig_of = np.repeat(np.arange(len(contigs), dtype=np.int32),
+                                  lens)
+        return n_csum, contig_of
+
+    contig_ends = np.ascontiguousarray(offs + lens)   # int64 global ends
 
     offsets_per_seed: list[np.ndarray] = []
     positions_per_seed: list[np.ndarray] = []
     n_buckets_list = seed_set.table_sizes()
 
+    from shrimp_tpu import native as native_mod
+    nlib = native_mod.load_index()
+
     for sn, seed in enumerate(seed_set.seeds):
         span = seed.span
+        nb = n_buckets_list[sn]
         if L < span:
-            offsets_per_seed.append(np.zeros(n_buckets_list[sn] + 1, np.int64))
+            offsets_per_seed.append(np.zeros(nb + 1, np.int64))
             positions_per_seed.append(np.zeros(0, np.uint32))
             continue
-        starts = np.arange(0, L - span + 1, dtype=np.int64)
-        valid = (n_csum[starts + span] - n_csum[starts]) == 0
-        valid &= contig_of[starts] == contig_of[starts + span - 1]
-        starts = starts[valid]
+        n_win = L - span + 1
+
+        if nlib is not None and len(seed.ones_idx) <= 16:
+            # native counting-sort build: linear passes replace the stable
+            # mergesort (identical output ordering — positions are placed
+            # in genome order within each bucket)
+            import ctypes
+            vmask = np.empty(n_win, np.uint8)
+            keys = np.empty(n_win, np.uint32)
+            ones = np.ascontiguousarray(seed.ones_idx.astype(np.int32))
+            codes_c = np.ascontiguousarray(index_codes)
+
+            def p(a, t):
+                return a.ctypes.data_as(ctypes.POINTER(t))
+            nlib.index_valid(p(codes_c, ctypes.c_int8), L, span,
+                             p(contig_ends, ctypes.c_longlong),
+                             len(contigs), p(vmask, ctypes.c_uint8))
+            nlib.index_mapidx(p(codes_c, ctypes.c_int8), n_win,
+                              p(ones, ctypes.c_int32), len(ones),
+                              p(vmask, ctypes.c_uint8),
+                              p(keys, ctypes.c_uint32))
+            if seed_set.use_hashing:
+                nlib.index_mix64(p(keys, ctypes.c_uint32), n_win,
+                                 HASH_BITS, p(vmask, ctypes.c_uint8))
+            counts = np.zeros(nb, np.int64)
+            nlib.index_count(p(keys, ctypes.c_uint32), n_win,
+                             p(counts, ctypes.c_longlong))
+            off = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+            cursor = np.ascontiguousarray(off[:-1].copy())
+            positions = np.empty(int(off[-1]), np.uint32)
+            nlib.index_place(p(keys, ctypes.c_uint32), n_win,
+                             p(cursor, ctypes.c_longlong),
+                             p(positions, ctypes.c_uint32))
+            positions_per_seed.append(positions)
+            offsets_per_seed.append(off)
+            continue
+
+        ncs, cof = _np_valid_planes()
+        valid = ((ncs[span:span + n_win] - ncs[:n_win]) == 0) \
+            & (cof[:n_win] == cof[span - 1:span - 1 + n_win])
+        starts = np.flatnonzero(valid).astype(np.int64)
         mapidx = compute_mapidx(index_codes, starts, seed.ones_idx,
                                 seed_set.use_hashing)
-        nb = n_buckets_list[sn]
         counts = np.bincount(mapidx, minlength=nb).astype(np.int64)
         off = np.zeros(nb + 1, dtype=np.int64)
         np.cumsum(counts, out=off[1:])

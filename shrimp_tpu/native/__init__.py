@@ -20,21 +20,24 @@ _LIB: ctypes.CDLL | None = None
 _TRIED = False
 
 
-def _build() -> str | None:
-    so_path = os.path.join(_HERE, "_fastx_native.so")
+def _compile(src: str, so_path: str, extra: tuple = ()) -> str | None:
     if os.path.exists(so_path) and \
-       os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
+       os.path.getmtime(so_path) >= os.path.getmtime(src):
         return so_path
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O3", "-fPIC", "-shared", "-o", so_path, _SRC],
+                [cc, "-O3", "-fPIC", "-shared", *extra, "-o", so_path, src],
                 capture_output=True, timeout=120)
             if r.returncode == 0:
                 return so_path
         except (OSError, subprocess.TimeoutExpired):
             continue
     return None
+
+
+def _build() -> str | None:
+    return _compile(_SRC, os.path.join(_HERE, "_fastx_native.so"))
 
 
 def load() -> ctypes.CDLL | None:
@@ -69,3 +72,44 @@ def load() -> ctypes.CDLL | None:
 
 def available() -> bool:
     return load() is not None
+
+
+_IDX_LIB: ctypes.CDLL | None = None
+_IDX_TRIED = False
+
+
+def load_index() -> ctypes.CDLL | None:
+    """The native CSR index-builder kernels (index_native.c)."""
+    global _IDX_LIB, _IDX_TRIED
+    if _IDX_LIB is not None or _IDX_TRIED:
+        return _IDX_LIB
+    _IDX_TRIED = True
+    src = os.path.join(_HERE, "index_native.c")
+    so = _compile(src, os.path.join(_HERE, "_index_native.so"),
+                  extra=("-fopenmp",)) or \
+        _compile(src, os.path.join(_HERE, "_index_native.so"))
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    c_ll = ctypes.c_longlong
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    llp = ctypes.POINTER(c_ll)
+    lib.index_mapidx.restype = None
+    lib.index_mapidx.argtypes = [i8p, c_ll, i32p, ctypes.c_int32, u8p, u32p]
+    lib.index_mix64.restype = None
+    lib.index_mix64.argtypes = [u32p, c_ll, ctypes.c_int32, u8p]
+    lib.index_valid.restype = None
+    lib.index_valid.argtypes = [i8p, c_ll, ctypes.c_int32, llp,
+                                ctypes.c_int32, u8p]
+    lib.index_count.restype = None
+    lib.index_count.argtypes = [u32p, c_ll, llp]
+    lib.index_place.restype = None
+    lib.index_place.argtypes = [u32p, c_ll, llp, u32p]
+    _IDX_LIB = lib
+    return lib
