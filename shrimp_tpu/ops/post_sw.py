@@ -175,58 +175,60 @@ def post_sw_batch(items: list[dict], probs: ScoreProbs, *,
 
 def _load_columns(colours, qual, read_start, dbalign, qralign, probs,
                   qual_delta, qual_vector_offset, use_sanger_qvs):
-    """load_local_vectors (sw-post.c:472-552) -> per-column arrays."""
+    """load_local_vectors (sw-post.c:472-552) -> per-column arrays.
+
+    Vectorized: one pass of byte-array ops per hit; the per-element float
+    math (10**(-q/10), the non-Sanger transform, the 0.75 cap) is identical
+    to the scalar walk, so results stay bit-equal."""
+    from shrimp_tpu import dna
+
     use_read_qvs = qual is not None
-    start_run = 0
-    min_qv = 10000
-    for j in range(read_start):
-        c = int(colours[j])
-        if c == BASE_N:
-            start_run = BASE_N
-            min_qv = 0
-            break
-        start_run ^= c
-        if use_read_qvs:
-            min_qv = min(min_qv, ord(qual[qual_vector_offset + j]))
-    has_let = []
-    lets = []
-    cols = []
-    colerrs = []
-    base_calls = []
-    j = read_start
-    for i in range(len(dbalign)):
-        qc = qralign[i]
-        if qc == "-":
-            continue
-        dc = dbalign[i]
-        if dc != "-":
-            has_let.append(True)
-            lets.append("ACGT".index(dc.upper()) if dc.upper() in "ACGT"
-                        else BASE_N)
-        else:
-            has_let.append(False)
-            lets.append(0)
-        c = int(colours[j])
-        n0 = len(cols)
-        if (n0 == 0 and start_run == BASE_N) or c == BASE_N:
-            cols.append(0)
-            colerrs.append(.75)
-        else:
-            cols.append(c ^ (start_run if n0 == 0 else 0))
-            if use_read_qvs:
-                q = (min(min_qv, ord(qual[qual_vector_offset + j]))
-                     if n0 == 0 else ord(qual[qual_vector_offset + j]))
-                err = mapq.pr_err_from_qv(q - qual_delta)
-                if not use_sanger_qvs:
-                    err = err / (1 + err)
-                if err > .75:
-                    err = .75
-                colerrs.append(err)
-            else:
-                colerrs.append(probs.pr_xover)
-        u = qc.upper()
-        base_calls.append("ACGT".index(u) if u in "ACGT" else BASE_N)
-        j += 1
+    pre = np.asarray(colours[:read_start])
+    if len(pre) and ((pre < 0) | (pre > 3)).any():
+        start_run = BASE_N
+        min_qv = 0
+    else:
+        start_run = int(np.bitwise_xor.reduce(pre)) if len(pre) else 0
+        min_qv = 10000
+        if use_read_qvs and read_start:
+            qpre = np.frombuffer(
+                qual.encode("latin-1"), np.uint8
+            )[qual_vector_offset:qual_vector_offset + read_start]
+            min_qv = int(qpre.min())
+
+    db = np.frombuffer(dbalign.encode("latin-1"), np.uint8)
+    qr = np.frombuffer(qralign.encode("latin-1"), np.uint8)
+    keep = qr != ord("-")
+    dbk = db[keep]
+    qrk = qr[keep]
+    n = len(dbk)
+    j = read_start + np.arange(n)
+
+    has_let = dbk != ord("-")
+    code_db = dna.CHAR_TO_CODE[dbk].astype(np.int64)
+    lets = np.where(has_let, np.where((code_db >= 0) & (code_db <= 3),
+                                      code_db, BASE_N), 0)
+    c = np.asarray(colours)[j].astype(np.int64)
+    first = np.arange(n) == 0
+    forced = (first & (start_run == BASE_N)) | (c == BASE_N)
+    cols = np.where(forced, 0,
+                    np.where(first, c ^ (0 if start_run == BASE_N
+                                         else start_run), c))
+    if use_read_qvs:
+        qj = np.frombuffer(qual.encode("latin-1"), np.uint8
+                           )[qual_vector_offset + j].astype(np.int64)
+        q = np.where(first, np.minimum(min_qv, qj), qj) - qual_delta
+        err = np.where(q <= 0, 0.99999999,
+                       np.where(q >= 250, 1e-25, 10.0 ** (-q / 10.0)))
+        if not use_sanger_qvs:
+            err = err / (1 + err)
+        err = np.where(err > .75, .75, err)
+    else:
+        err = np.full(n, probs.pr_xover)
+    colerrs = np.where(forced, .75, err)
+
+    code_qr = dna.CHAR_TO_CODE[qrk].astype(np.int64)
+    base_calls = np.where((code_qr >= 0) & (code_qr <= 3), code_qr, BASE_N)
     return has_let, lets, cols, colerrs, base_calls
 
 
