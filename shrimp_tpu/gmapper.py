@@ -361,6 +361,17 @@ def main(argv: list[str] | None = None) -> int:
             usage(prog, mode)
             return 0
 
+    # -g/-e set without -q/-f imply symmetric query-gap penalties
+    # (gmapper.c:2538-2552)
+    if "a_gap_open" in score_updates and "b_gap_open" not in score_updates:
+        log("Notice: Gap open penalty set for reference but not query; "
+            "assuming symmetry.")
+        score_updates["b_gap_open"] = score_updates["a_gap_open"]
+    if "a_gap_extend" in score_updates and \
+            "b_gap_extend" not in score_updates:
+        log("Notice: Gap extend penalty set for reference but not query; "
+            "assuming symmetry.")
+        score_updates["b_gap_extend"] = score_updates["a_gap_extend"]
     if score_updates:
         cfg.params = cfg.params.with_(**score_updates)
 

@@ -14,9 +14,10 @@ Semantics mirrored:
   * mapidx packs the seed's '1' positions, 2 bits per base (`code & 3`;
     IUPAC codes alias onto ACGT — gmapper.h:342-366 and its XXX note), with
     the base under the **last** pattern position most significant.
-  * `-H` hash mode maps the extracted kmer into 2^24 buckets for seeds whose
-    weight exceeds 14 (gmapper.h:321-336); we use a different (but fixed)
-    64-bit mix, which only changes which rare kmers collide.
+  * `-H` hash mode maps the masked 4-bit kmer window into 2^24 buckets via
+    the reference's chained 32-bit hash (kmer_to_mapidx_hash,
+    gmapper.h:308-337) — replicated exactly in `hash_mapidx` so -H runs
+    are byte-comparable.
   * list trimming: lists longer than a cutoff are dropped wholesale
     (`trim_genome`, genome.c:1188; query-time skip, mapping.c:901-903).
 """
@@ -38,13 +39,39 @@ INDEX_FORMAT_VERSION = 1   # analogue of map_version (gmapper-definitions.h:310)
 HASH_BITS = 24
 
 
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """Fixed 64-bit mix (splitmix64 finalizer) for -H bucket hashing."""
-    x = x.astype(np.uint64)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> np.uint64(31))
-    return x
+def _jenkins32(a: np.ndarray) -> np.ndarray:
+    """The reference's 32-bit integer hash (gmapper.h:308-318)."""
+    a = np.asarray(a, dtype=np.uint32)
+    a = (a + np.uint32(0x7ED55D16)) + (a << np.uint32(12))
+    a = (a ^ np.uint32(0xC761C23C)) ^ (a >> np.uint32(19))
+    a = (a + np.uint32(0x165667B1)) + (a << np.uint32(5))
+    a = (a + np.uint32(0xD3A2646C)) ^ (a << np.uint32(9))
+    a = (a + np.uint32(0xFD7046C5)) + (a << np.uint32(3))
+    a = (a ^ np.uint32(0xB55A4F09)) ^ (a >> np.uint32(16))
+    return a
+
+
+def hash_mapidx(codes: np.ndarray, starts: np.ndarray, span: int,
+                ones_idx: np.ndarray, max_span: int) -> np.ndarray:
+    """kmer_to_mapidx_hash (gmapper.h:322-337): the rolling 4-bit kmer
+    window (nibble 0 = newest base, bitfield_prepend) is masked by the
+    seed's one-positions and its BPTO32BW(max_seed_span) words are chained
+    through `hash((word & mask) ^ acc)`; trailing all-zero words still
+    advance the chain."""
+    starts = np.asarray(starts, dtype=np.int64)
+    key = np.zeros(len(starts), np.uint32)
+    codes_u = np.asarray(codes)
+    W = (max_span + 7) // 8
+    for w in range(W):
+        v = np.zeros(len(starts), np.uint32)
+        for o in ones_idx:
+            j = span - 1 - int(o)          # nibble index from the window end
+            if j // 8 != w:
+                continue
+            v |= ((codes_u[starts + int(o)].astype(np.uint32))
+                  & np.uint32(0xF)) << np.uint32(4 * (j % 8))
+        key = _jenkins32(v ^ key)
+    return key & np.uint32((1 << HASH_BITS) - 1)
 
 
 def compute_mapidx(codes: np.ndarray, starts: np.ndarray, ones_idx: np.ndarray,
@@ -60,7 +87,7 @@ def compute_mapidx(codes: np.ndarray, starts: np.ndarray, ones_idx: np.ndarray,
         acc |= ((codes[starts + ones_idx[k]].astype(np.uint64)) & np.uint64(3)) \
             << np.uint64(2 * k)
     if use_hashing:
-        return (_mix64(acc) & np.uint64((1 << HASH_BITS) - 1)).astype(np.uint32)
+        raise ValueError("use hash_mapidx for -H seeds")
     return acc.astype(np.uint32)
 
 
@@ -290,7 +317,8 @@ def build_index(contigs: list[fastx.Contig], seed_set: SeedSet | None = None,
             continue
         n_win = L - span + 1
 
-        if nlib is not None and len(seed.ones_idx) <= 16:
+        if nlib is not None and len(seed.ones_idx) <= 16 \
+                and not seed_set.use_hashing:
             # native counting-sort build: linear passes replace the stable
             # mergesort (identical output ordering — positions are placed
             # in genome order within each bucket)
@@ -309,9 +337,6 @@ def build_index(contigs: list[fastx.Contig], seed_set: SeedSet | None = None,
                               p(ones, ctypes.c_int32), len(ones),
                               p(vmask, ctypes.c_uint8),
                               p(keys, ctypes.c_uint32))
-            if seed_set.use_hashing:
-                nlib.index_mix64(p(keys, ctypes.c_uint32), n_win,
-                                 HASH_BITS, p(vmask, ctypes.c_uint8))
             counts = np.zeros(nb, np.int64)
             nlib.index_count(p(keys, ctypes.c_uint32), n_win,
                              p(counts, ctypes.c_longlong))
@@ -330,8 +355,11 @@ def build_index(contigs: list[fastx.Contig], seed_set: SeedSet | None = None,
         valid = ((ncs[span:span + n_win] - ncs[:n_win]) == 0) \
             & (cof[:n_win] == cof[span - 1:span - 1 + n_win])
         starts = np.flatnonzero(valid).astype(np.int64)
-        mapidx = compute_mapidx(index_codes, starts, seed.ones_idx,
-                                seed_set.use_hashing)
+        if seed_set.use_hashing:
+            mapidx = hash_mapidx(index_codes, starts, span, seed.ones_idx,
+                                 max(sd.span for sd in seed_set.seeds))
+        else:
+            mapidx = compute_mapidx(index_codes, starts, seed.ones_idx)
         counts = np.bincount(mapidx, minlength=nb).astype(np.int64)
         off = np.zeros(nb + 1, dtype=np.int64)
         np.cumsum(counts, out=off[1:])

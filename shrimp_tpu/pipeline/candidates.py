@@ -213,8 +213,12 @@ def read_mapidxs(re: ReadEntry, idx: GenomeIndex, st: int) -> list[np.ndarray]:
         if seed.positions is not None:
             keep = np.isin(starts, seed.positions + re.min_kmer_pos)
             starts = starts[keep]
-        mi = compute_mapidx(codes, starts, seed.ones_idx,
-                            idx.seed_set.use_hashing)
+        if idx.seed_set.use_hashing:
+            from shrimp_tpu.index import hash_mapidx
+            mi = hash_mapidx(codes, starts, seed.span, seed.ones_idx,
+                             max(sd.span for sd in idx.seed_set.seeds))
+        else:
+            mi = compute_mapidx(codes, starts, seed.ones_idx)
         full = np.full(n, 0xFFFFFFFF, np.uint32)
         full[starts - re.min_kmer_pos] = mi
         out.append(full)

@@ -100,8 +100,15 @@ def mapidx_batch(entries: list[ReadEntry], idx: GenomeIndex,
             (sel.astype(np.uint64) & np.uint64(3)) << shifts[None, None, :],
             axis=2)
         if idx.seed_set.use_hashing:
-            from shrimp_tpu.index import _mix64, HASH_BITS
-            acc = _mix64(acc) & np.uint64((1 << HASH_BITS) - 1)
+            # exact kmer_to_mapidx_hash over the padded code plane: flatten
+            # rows so window starts index one big array
+            from shrimp_tpu.index import hash_mapidx
+            max_span = max(sd.span for sd in idx.seed_set.seeds)
+            flat = codes.reshape(-1)
+            starts_flat = (np.arange(B)[:, None] * Rmax
+                           + np.minimum(starts, Rmax - seed.span)).ravel()
+            acc = hash_mapidx(flat, starts_flat, seed.span, seed.ones_idx,
+                              max_span).reshape(B, K).astype(np.uint64)
         mi = acc.astype(np.uint32)
         mi[~valid] = np.uint32(0xFFFFFFFF)
         out.append(mi)

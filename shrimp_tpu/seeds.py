@@ -98,11 +98,17 @@ def default_seeds(weight: int = 0) -> list[Seed]:
     """
     if weight == 0:
         weight = DEFAULT_SEEDS_WEIGHT
-    if weight not in _DEFAULT_SEED_SETS:
+    if not DEFAULT_SEEDS_MIN_WEIGHT <= weight <= DEFAULT_SEEDS_MAX_WEIGHT:
         raise ValueError(
-            f"no default seeds of weight {weight}; available: "
-            f"{sorted(_DEFAULT_SEED_SETS)}")
-    return [parse_seed(s) for s in _DEFAULT_SEED_SETS[weight]]
+            f"no default seeds of weight {weight}; available range: "
+            f"[{DEFAULT_SEEDS_MIN_WEIGHT}, {DEFAULT_SEEDS_MAX_WEIGHT}]")
+    # in-range weights with no table entry add NO seeds (the reference's
+    # cnt==0 rows, gmapper-defaults.h:197); the caller then falls back to
+    # the default-weight set when it ends up with zero seeds
+    specs = _DEFAULT_SEED_SETS.get(weight, [])
+    if not specs:
+        specs = _DEFAULT_SEED_SETS[DEFAULT_SEEDS_WEIGHT]
+    return [parse_seed(s) for s in specs]
 
 
 def mirna_seeds() -> list[Seed]:

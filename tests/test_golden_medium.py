@@ -50,6 +50,22 @@ def _map_lines(mode, reads, paired=False):
     return lines
 
 
+def _g(name):
+    return os.path.join(GOLDEN, name)
+
+
+def _cli_golden(args, golden_name):
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-m", "shrimp_tpu.gmapper"] + args,
+        capture_output=True, text=True, timeout=1700, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    want = golden_body(golden_name)
+    got = [ln for ln in out.stdout.splitlines() if not ln.startswith("@")]
+    assert got == want
+
+
 def test_medium_ls():
     assert _map_lines("ls", "med_reads.fq") == golden_body("med_ls.sam")
 
@@ -61,3 +77,16 @@ def test_medium_cs():
 def test_medium_paired():
     assert _map_lines("ls", "med_pairs.fq", paired=True) == \
         golden_body("med_paired.sam")
+
+
+def test_medium_hashed_seeds():
+    """-H -s w16: the exact kmer_to_mapidx_hash chain (gmapper.h:308-337)."""
+    _cli_golden(["-Q", _g("med_reads.fq"), _g("med_genome.fa"), "-N", "1",
+                 "-H", "-s", "w16"], "golden_med_h16.sam")
+
+
+def test_medium_gap_symmetry():
+    """-g/-e without -q/-f imply symmetric query penalties
+    (gmapper.c:2538-2552)."""
+    _cli_golden(["-Q", _g("med_reads.fq"), _g("med_genome.fa"), "-N", "1",
+                 "-g", "-400", "-e", "-70"], "golden_med_gapsym.sam")
