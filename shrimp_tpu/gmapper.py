@@ -335,8 +335,17 @@ def main(argv: list[str] | None = None) -> int:
             cfg.indel_taboo_len = int(a)
         elif o == "--trim-front":
             trim_front = int(a)
+            if colour:
+                log("--trim-front cannot be used in colour space mode!")
+                return 1
+            if trim_front < 0:
+                log("--trim-front value must be positive")
+                return 1
         elif o == "--trim-end":
             trim_end = int(a)
+            if trim_end < 0:
+                log("--trim-end value must be positive")
+                return 1
         elif o == "--trim-first":
             trim_first, trim_second = True, False
         elif o == "--trim-second":
