@@ -81,8 +81,7 @@ def main():
     best = None
     for _ in range(3):
         t0 = time.time()
-        for i in range(0, len(pairs), 1024):
-            pm.map_pair_batch(pairs[i:i + 1024])
+        list(pm.map_pair_stream(iter(pairs), batch_size=1024))
         el = time.time() - t0
         best = el if best is None else min(best, el)
     paired_rps = 2 * len(pairs) / best

@@ -584,42 +584,55 @@ def main(argv: list[str] | None = None) -> int:
                 yield from fastx.iter_reads(rf, fastq=fastq)
 
     stream = reads_stream()
-    while True:
-        batch = []
-        for rec in stream:
-            batch.append(trim_rec(rec))
-            if len(batch) >= batch_size:
-                break
-        if not batch:
-            break
-        if pair_mode != 0:
-            if len(batch) % 2:
+    if pair_mode != 0:
+        def pairs_gen():
+            buf = None
+            for rec in stream:
+                rec = trim_rec(rec)
+                if buf is None:
+                    buf = rec
+                    continue
+                r1, r2 = buf, rec
+                buf = None
+                if rec_ok(r1) and rec_ok(r2):
+                    yield ((r1.name, r1.seq, r1.qual),
+                           (r2.name, r2.seq, r2.qual))
+            if buf is not None:
                 log("warning: odd number of reads in paired mode; "
                     "dropping the last one")
-                batch.pop()
-            pairs = []
-            for i in range(0, len(batch), 2):
-                r1, r2 = batch[i], batch[i + 1]
-                if not (rec_ok(r1) and rec_ok(r2)):
-                    continue
-                pairs.append(((r1.name, r1.seq, r1.qual),
-                              (r2.name, r2.seq, r2.qual)))
-            results = mapper.map_pair_batch(
-                pairs, option_sets=paired_popts or None)
-            for pr in results:
-                n_reads += 2
-                got = bool(pr.paired_hits or pr.unpaired_hits)
-                n_matched += 2 if got else 0
-                if x_isize_hist:
-                    for _fh1, _fh2, isz in pr.paired_hits:
-                        isizes.append(isz)
-                if shrimp_format:
-                    for line in mapper.legacy_records_pair(pr, rflag):
-                        out.write(line + "\n")
-                else:
-                    for rec in mapper.sam_records_pair(pr):
-                        out.write(rec.line() + "\n")
-        else:
+
+        for pr in mapper.map_pair_stream(
+                pairs_gen(), batch_size=max(batch_size // 2, 1),
+                option_sets=paired_popts or None):
+            n_reads += 2
+            got = bool(pr.paired_hits or pr.unpaired_hits)
+            n_matched += 2 if got else 0
+            if got and al_file:
+                al_recs.extend(pr.re)
+            elif not got and un_file:
+                un_recs.extend(pr.re)
+            if x_isize_hist:
+                for _fh1, _fh2, isz in pr.paired_hits:
+                    isizes.append(isz)
+            if shrimp_format:
+                for line in mapper.legacy_records_pair(pr, rflag):
+                    out.write(line + "\n")
+            else:
+                for rec in mapper.sam_records_pair(pr):
+                    out.write(rec.line() + "\n")
+            if progress and n_reads % progress < 2:
+                el = time.time() - t_map0
+                log(f"- Processed {n_reads} reads "
+                    f"({n_reads / max(el, 1e-9):.0f} reads/s)")
+    else:
+        while True:
+            batch = []
+            for rec in stream:
+                batch.append(trim_rec(rec))
+                if len(batch) >= batch_size:
+                    break
+            if not batch:
+                break
             triples = [(r.name, r.seq, r.qual) for r in batch if rec_ok(r)]
             results = mapper.map_batch(
                 triples, options=unpaired_option_sets or None)
@@ -638,10 +651,10 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     for rec in mapper.sam_records(re_e, hits):
                         out.write(rec.line() + "\n")
-        if progress and n_reads and n_reads % progress < batch_size:
-            el = time.time() - t_map0
-            log(f"- Processed {n_reads} reads "
-                f"({n_reads / max(el, 1e-9):.0f} reads/s)")
+            if progress and n_reads and n_reads % progress < batch_size:
+                el = time.time() - t_map0
+                log(f"- Processed {n_reads} reads "
+                    f"({n_reads / max(el, 1e-9):.0f} reads/s)")
 
     dt = time.time() - t_map0
     if un_file:

@@ -658,10 +658,15 @@ class Mapper:
 
     # ------------------------------------------------------------------
     def _select_hits(self, finals: list[FinalHit],
-                     opts: ReadMappingOptions) -> list[FinalHit]:
+                     opts: ReadMappingOptions,
+                     compute_mqv: bool | None = None) -> list[FinalHit]:
         """Dedup, sort, trim, strata, max-alignments, MQV
-        (read_pass2, mapping.c:1690-1763)."""
+        (read_pass2, mapping.c:1690-1763).  compute_mqv overrides the
+        config flag (the paired mapper computes its own class-based MQVs)
+        without mutating shared state."""
         cfg = self.cfg
+        if compute_mqv is None:
+            compute_mqv = cfg.compute_mapping_qualities
 
         def gen_start_key(fh: FinalHit):
             return (fh.cn, fh.gen_st, fh.g_off + fh.genome_start)
@@ -677,7 +682,7 @@ class Mapper:
                 pass                      # single hit: strata is a no-op
             if cfg.max_alignments and 1 > cfg.max_alignments:
                 return []
-            if cfg.compute_mapping_qualities:
+            if compute_mqv:
                 mqvs, z1 = mapq.compute_unpaired_mqv(
                     [finals[0].posterior])
                 finals[0].mqv = mqvs[0]
@@ -711,7 +716,7 @@ class Mapper:
         if dedup and cfg.max_alignments and len(dedup) > cfg.max_alignments:
             return []
 
-        if cfg.compute_mapping_qualities and dedup:
+        if compute_mqv and dedup:
             mqvs, z1 = mapq.compute_unpaired_mqv(
                 [fh.posterior for fh in dedup])
             for fh, m in zip(dedup, mqvs):

@@ -350,6 +350,38 @@ class PairedMapper(Mapper):
                 "dmin": dmin, "dmax": dmax}
 
     # ------------------------------------------------------------------
+    def map_pair_stream(self, pairs_iter, batch_size: int = 1024,
+                        option_sets=None):
+        """Pipelined paired mapping: up to two `map_pair_batch` calls in
+        flight on worker threads, results yielded in input order.
+
+        One batch's host work (read prep, candidates, pairing) overlaps
+        the other's device DP waits — the OpenMP-overlap analogue of
+        `Mapper.map_stream` for the paired flow, whose host/device phases
+        interleave too finely for an explicit dispatch/finish split."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=2)
+        try:
+            futs = []
+            batch = []
+            for p in pairs_iter:
+                batch.append(p)
+                if len(batch) >= batch_size:
+                    futs.append(ex.submit(self.map_pair_batch, batch,
+                                          option_sets))
+                    batch = []
+                    if len(futs) > 2:
+                        yield from futs.pop(0).result()
+            if batch:
+                futs.append(ex.submit(self.map_pair_batch, batch,
+                                      option_sets))
+            for f in futs:
+                yield from f.result()
+        finally:
+            ex.shutdown(wait=True)
+
+    # ------------------------------------------------------------------
     def default_paired_sets(self):
         """Default single paired option set (gmapper.c:2634-2716): with
         half_paired the stop threshold is an unattainable 101%, so every
@@ -1031,12 +1063,7 @@ class PairedMapper(Mapper):
     def _select_hits_no_mqv(self, finals, opts):
         """_select_hits without the unpaired-MQV step (paired mode computes
         its own class-based MQVs)."""
-        save_cmq = self.cfg.compute_mapping_qualities
-        try:
-            self.cfg.compute_mapping_qualities = False
-            return self._select_hits(finals, opts)
-        finally:
-            self.cfg.compute_mapping_qualities = save_cmq
+        return self._select_hits(finals, opts, compute_mqv=False)
 
     # ------------------------------------------------------------------
     def _paired_mqv(self, pr: PairResult):
