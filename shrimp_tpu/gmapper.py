@@ -138,6 +138,7 @@ def main(argv: list[str] | None = None) -> int:
     paired_option_sets = []
     match_mode_set = False
     shrimp_format = False
+    sam_r2 = False
     rflag = False
     pflag = False
     trim_illumina = False
@@ -364,11 +365,18 @@ def main(argv: list[str] | None = None) -> int:
             read_group = a.split(",")
         elif o == "--sam-header":
             sam_header_file = a
+        elif o == "--sam-r2":
+            sam_r2 = True
         elif o == "--no-autodetect-input":
             no_autodetect = True
         elif o in ("-?", "--help"):
             usage(prog, mode)
             return 0
+
+    if read_group:
+        cfg.sam_read_group_name = read_group[0]
+    cfg.extra_sam_fields = extra_sam_fields
+    cfg.sam_r2 = sam_r2
 
     # -g/-e set without -q/-f imply symmetric query-gap penalties
     # (gmapper.c:2538-2552)

@@ -65,6 +65,30 @@ class EditCounts:
     crossovers: int = 0
 
 
+def reverse_alignment_edit_string(editstr: str) -> str:
+    """Reverse + complement an edit string (reverse_alignment_edit_string,
+    gmapper/output.c:84-122): digit runs keep their order, letters
+    complement, parens flip, '-'/'x' pass through."""
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A",
+            "(": ")", ")": "(", "-": "-", "x": "x"}
+    n = len(editstr)
+    out = []
+    i = 0
+    while i < n:
+        c = editstr[n - 1 - i]
+        if c.isdigit():
+            j = i + 1
+            while j < n and editstr[n - 1 - j].isdigit():
+                j += 1
+            j -= 1
+            out.append(editstr[n - 1 - j:n - i])
+            i = j + 1
+        else:
+            out.append(comp[c])
+            i += 1
+    return "".join(out)
+
+
 def editstr_to_counts(editstr: str) -> EditCounts:
     """Port of editstr_to_sfr (common/input.c:58-137).
 

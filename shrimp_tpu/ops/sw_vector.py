@@ -132,6 +132,70 @@ def sw_score_batch(genome: jax.Array, read: jax.Array,
     return best
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def sw_score_batch_rows(genome: jax.Array, read: jax.Array,
+                        params: SWParams = SWParams(),
+                        genome_row0: jax.Array | None = None) -> jax.Array:
+    """Row-scan formulation of `sw_score_batch` (identical results).
+
+    Scans read ROWS (R steps) instead of anti-diagonals (G+R-1 steps);
+    the within-row affine A-gap recurrence
+        A[j] = max(H[j-1] - aoe, A[j-1] - ae)
+    collapses into one tilted running max
+        A[j] = max_{k<j}(H0[k] + ae*k) - aoe - ae*(j-1)
+    which is exact for affine costs (open cost >= 0: a gap re-opened from
+    an A-derived cell can never beat extending, Farrar's lazy-F argument).
+    ~2.5x fewer sequential steps and one `cummax` per row — the same
+    structure a Pallas VMEM kernel would use."""
+    genome = genome.astype(jnp.int32)
+    read = read.astype(jnp.int32)
+    B, G = genome.shape
+    _, R = read.shape
+
+    m = jnp.int32(params.match)
+    x = jnp.int32(params.mismatch)
+    aoe = jnp.int32(-(params.a_gap_open + params.a_gap_extend))
+    ae = jnp.int32(-params.a_gap_extend)
+    boe = jnp.int32(-(params.b_gap_open + params.b_gap_extend))
+    be = jnp.int32(-params.b_gap_extend)
+
+    jj = jnp.arange(G, dtype=jnp.int32)
+    tilt = ae * jj                                  # [G]
+
+    def shift_right(arr, fill):
+        return jnp.concatenate(
+            [jnp.full((B, 1), fill, arr.dtype), arr[:, :-1]], axis=1)
+
+    g_main = genome
+    g_first = genome if genome_row0 is None else genome_row0.astype(jnp.int32)
+
+    def row(carry, xs):
+        H_prev, Bg_prev, best, i = carry
+        rc = xs[:, None]                             # [B, 1] read char
+        gplane = jnp.where(i == 0, g_first, g_main) if genome_row0 is not None \
+            else g_main
+        ms = jnp.where(gplane == rc, m, x)
+        Hdiag = shift_right(H_prev, 0) + ms
+        Bg = jnp.maximum(H_prev - boe, Bg_prev - be)
+        H0 = jnp.maximum(jnp.maximum(Hdiag, 0), Bg)
+        run = jax.lax.cummax(H0 + tilt[None, :], axis=1)
+        A = shift_right(run, NEG_INF) - aoe - ae * (jj[None, :] - 1)
+        H = jnp.maximum(H0, A)
+        # pad rows (read char = READ_PAD) must not contribute
+        is_pad = rc == READ_PAD
+        H = jnp.where(is_pad, H_prev, H)
+        Bg = jnp.where(is_pad, Bg_prev, Bg)
+        best = jnp.maximum(best, jnp.max(H, axis=1))
+        return (H, Bg, best, i + 1), None
+
+    H = jnp.zeros((B, G), jnp.int32)
+    Bg = jnp.full((B, G), NEG_INF, jnp.int32)
+    best = jnp.zeros((B,), jnp.int32)
+    (H, Bg, best, _), _ = jax.lax.scan(
+        row, (H, Bg, best, jnp.int32(0)), read.T)
+    return best
+
+
 def sw_score_numpy(genome, read, params: SWParams = SWParams(),
                    genome_row0=None) -> int:
     """NumPy oracle: straightforward O(G*R) local affine SW for one pair."""

@@ -79,6 +79,10 @@ class FinalHit:
     mqv: int = 255
     z0: float = 0.0
     z1: float = 0.0
+    # --extra-sam-fields side data (output.c:739-756)
+    kmer_matches: int = 0             # read_hit.matches (kmer count)
+    score_window_gen: int = 0
+    score_vector: int = 0
     # paired-mode extras (compute_paired_mqv, output.c:812-942)
     score_max: int = 0
     z2: float = 0.0
@@ -448,6 +452,8 @@ class Mapper:
             "anchor_length": hb.anchor_length[src],
             "anchor_width": hb.anchor_width[src],
             "score_vector": eff_scores[sel_rows],
+            "matches": hb.matches[src],
+            "score_window_gen": hb.score_window_gen[src],
         }
 
     # ------------------------------------------------------------------
@@ -650,7 +656,10 @@ class Mapper:
                     score_max=int(score_max[n]),
                     crossovers=(int(crossovers[n]) if crossovers is not None
                                 else 0),
-                    dbalign=dbal, qralign=qral, qual33=qual33))
+                    dbalign=dbal, qralign=qral, qual33=qual33,
+                    kmer_matches=int(sel["matches"][n]),
+                    score_window_gen=int(sel["score_window_gen"][n]),
+                    score_vector=int(sel["score_vector"][n])))
             kept = self._select_hits(finals, opts)
             if kept:
                 out[int(li)] = kept
@@ -795,6 +804,25 @@ class Mapper:
         return out
 
     # ------------------------------------------------------------------
+    def _append_tail_tags(self, rec, re_e, fh, mate_re=None) -> None:
+        """R2/X2, RG:Z and --extra-sam-fields tags, in the reference's
+        order (output.c:452-464, 731-756)."""
+        cfg = self.cfg
+        if cfg.sam_r2 and mate_re is not None:
+            tag = "X2" if cfg.colour_space else "R2"
+            rec.tags.append(f"{tag}:Z:{mate_re.seq}")
+        if cfg.sam_read_group_name:
+            rec.tags.append(f"RG:Z:{cfg.sam_read_group_name}")
+        if cfg.extra_sam_fields and fh is not None:
+            from shrimp_tpu.io import legacy
+            db, qr = self.render_hit_alignment(re_e, fh)
+            es = legacy.alignment_edit_string(db, qr)
+            if fh.gen_st == 1:
+                es = legacy.reverse_alignment_edit_string(es)
+            rec.tags.append(
+                f"ZM:i:{fh.kmer_matches}\tZR:i:{fh.score_window_gen}\t"
+                f"ZV:i:{fh.score_vector}\tZH:i:{fh.sw_score}\tZE:Z:{es}")
+
     def sam_records(self, re: cand.ReadEntry,
                     hits: list[FinalHit]) -> list[sam.SamRecord]:
         """read_output + hit_output for one read."""
@@ -808,6 +836,7 @@ class Mapper:
                 else:
                     recs.append(sam.unaligned_record(re.name, re.seq, re.qual,
                                                      cfg.qual_delta))
+                self._append_tail_tags(recs[-1], re, None)
             return recs
         sel = hits
         if cfg.single_best_mapping and cfg.compute_mapping_qualities:
@@ -839,6 +868,7 @@ class Mapper:
                     z1=(fh.z1 if cfg.compute_mapping_qualities
                         and not cfg.all_contigs else None),
                     read_len=re.read_len))
+                self._append_tail_tags(recs[-1], re, fh)
             return recs
         for fh in sel:
             recs.append(sam.aligned_record_from_ops(
@@ -862,4 +892,5 @@ class Mapper:
                     and not cfg.all_contigs else None),
                 qual_delta=cfg.qual_delta,
                 read_len=re.read_len))
+            self._append_tail_tags(recs[-1], re, fh)
         return recs

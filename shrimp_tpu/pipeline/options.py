@@ -117,6 +117,9 @@ class MapperConfig:
     strand_mask: int = 3              # bit 0: + strand, bit 1: - strand
     bfast: bool = False               # Bflag: bfast-style CS base quals
     all_contigs: bool = False         # suppresses Z-field emission
+    sam_read_group_name: str | None = None   # --read-group id (RG:Z tag)
+    extra_sam_fields: bool = False    # --extra-sam-fields (ZM/ZR/ZV/ZH/ZE)
+    sam_r2: bool = False              # --sam-r2: mate sequence R2/X2 tag
 
     def vect_threshold(self) -> float:
         if self.sw_vect_threshold is not None:

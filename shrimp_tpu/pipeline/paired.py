@@ -677,16 +677,21 @@ class PairedMapper(Mapper):
         return out
 
     # ------------------------------------------------------------------
-    def _run_full_sw(self, entries, istrand, hb, rows, pass2_threshold):
+    def _run_full_sw(self, entries, istrand, hb, rows, pass2_threshold,
+                     score_vectors=None):
         """Batched hit_run_full_sw for the given hit rows of one side.
 
         Returns dict row -> (FinalHit | None).  A row yields None when its
-        vector score misses the per-foot threshold (score_full == 0)."""
+        vector score misses the per-foot threshold (score_full == 0).
+        score_vectors: per-row raw vector scores (for --extra-sam-fields'
+        ZV, hit_run_full_sw's recomputed score_vector)."""
         cfg = self.cfg
         N = len(rows)
         if N == 0:
             return {}
         rows = np.asarray(rows)
+        if score_vectors is None:
+            score_vectors = np.zeros(N, np.int64)
         cn = hb.cn[rows]
         st = hb.st[rows].astype(np.int64)
         w_len = hb.w_len[rows].astype(np.int64)
@@ -811,6 +816,9 @@ class PairedMapper(Mapper):
                             else 0),
                 dbalign=dbal, qralign=qral, qual33=qual33)
             fh.score_max = int(score_max[k])
+            fh.kmer_matches = int(hb.matches[row])
+            fh.score_window_gen = int(hb.score_window_gen[row])
+            fh.score_vector = int(score_vectors[k])
             out[row] = fh
         return out
 
@@ -836,7 +844,10 @@ class PairedMapper(Mapper):
             gated = [row for row in rows
                      if sv[side][row] >= abs_or_pct(
                          foot_thr, int(hb.score_max[row]))]
-            res = self._run_full_sw(entries, istrand, hb, gated, foot_thr)
+            res = self._run_full_sw(
+                entries, istrand, hb, gated, foot_thr,
+                score_vectors=np.array([sv[side][row] for row in gated],
+                                       np.int64))
             feet[side] = {row: res.get(row) for row in rows}
 
         paired_final = {}
@@ -1037,8 +1048,9 @@ class PairedMapper(Mapper):
                 sel.append(int(rows_live[n]))
                 cnt[r] = c + 1
 
-        res = self._run_full_sw(entries, istrand, hb, sel,
-                                cfg.sw_full_threshold)
+        res = self._run_full_sw(
+            entries, istrand, hb, sel, cfg.sw_full_threshold,
+            score_vectors=np.array([scores_full[r] for r in sel], np.int64))
         by_read = {}
         for row, fh in res.items():
             if fh is None or fh.score_full == 0:
@@ -1179,14 +1191,19 @@ class PairedMapper(Mapper):
         for fh0, fh1, isz in pr.paired_hits:
             recs.append(self._paired_record(re[0], fh0, re[1], fh1, isz,
                                             True))
+            self._append_tail_tags(recs[-1], re[0], fh0, mate_re=re[1])
             recs.append(self._paired_record(re[1], fh1, re[0], fh0, -isz,
                                             False))
+            self._append_tail_tags(recs[-1], re[1], fh1, mate_re=re[0])
         for nip, fh in pr.unpaired_hits:
             mate_nip = 1 - nip
             mapped = self._halfpair_record(re[nip], fh, re[mate_nip],
                                            nip == 0)
+            self._append_tail_tags(mapped, re[nip], fh, mate_re=re[mate_nip])
             unmapped = self._mate_unmapped_record(re[mate_nip], re[nip], fh,
                                                   mate_nip == 0)
+            self._append_tail_tags(unmapped, re[mate_nip], None,
+                                   mate_re=re[nip])
             if nip == 0:
                 recs.extend([mapped, unmapped])
             else:
@@ -1200,6 +1217,8 @@ class PairedMapper(Mapper):
                     rec = sam.unaligned_record(re[nip].name, re[nip].seq,
                                                re[nip].qual, cfg.qual_delta)
                 rec.flag = 0x1 | 0x4 | 0x8 | (0x40 if nip == 0 else 0x80)
+                self._append_tail_tags(rec, re[nip], None,
+                                       mate_re=re[1 - nip])
                 recs.append(rec)
         return recs
 

@@ -90,3 +90,24 @@ def test_medium_gap_symmetry():
     (gmapper.c:2538-2552)."""
     _cli_golden(["-Q", _g("med_reads.fq"), _g("med_genome.fa"), "-N", "1",
                  "-g", "-400", "-e", "-70"], "golden_med_gapsym.sam")
+
+
+def test_medium_read_group():
+    """--read-group: @RG header + per-record RG:Z tag (output.c:461,739)."""
+    _cli_golden(["-Q", _g("med_reads.fq"), _g("med_genome.fa"), "-N", "1",
+                 "--read-group", "rg1,sample1"], "golden_med_rg.sam")
+
+
+def test_medium_extra_sam_fields():
+    """--extra-sam-fields: ZM/ZR/ZV/ZH/ZE side channel incl.
+    reverse-complemented edit strings (output.c:739-756)."""
+    _cli_golden(["-Q", _g("med_reads.fq"), _g("med_genome.fa"), "-N", "1",
+                 "--extra-sam-fields"], "golden_med_xf.sam")
+
+
+def test_paired_sam_r2():
+    """--sam-r2: mate sequence R2:Z tag on paired records
+    (output.c:452-460)."""
+    _cli_golden(["-Q", "-p", "opp-in", _g("golden_pairs.fq"),
+                 _g("golden_genome.fa"), "-N", "1", "--sam-r2"],
+                "golden_paired_r2.sam")

@@ -84,3 +84,37 @@ def test_asymmetric_gaps(params):
         r[12] = (r[12] + 1) % 4      # SNP
         assert run_batch([g], [r], params)[0] == \
             sw_vector.sw_score_numpy(g, r, params)
+
+
+def test_row_scan_equals_wavefront():
+    """sw_score_batch_rows (cummax affine rows) == sw_score_batch, including
+    the CS row-0 plane and asymmetric gap costs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shrimp_tpu.ops import sw_vector as sv
+    from shrimp_tpu.ops.params import SWParams
+
+    rng = np.random.default_rng(123)
+    B, G, R = 64, 96, 48
+    genome = rng.integers(0, 4, size=(B, G)).astype(np.int8)
+    read = np.full((B, R), sv.READ_PAD, np.int8)
+    for b in range(B):
+        L = int(rng.integers(16, R + 1))
+        s = int(rng.integers(0, G - L))
+        read[b, :L] = genome[b, s:s + L]
+        for _ in range(int(rng.integers(0, 5))):
+            read[b, int(rng.integers(L))] = rng.integers(0, 4)
+    row0 = rng.integers(0, 4, size=(B, G)).astype(np.int8)
+    for p, r0 in [(SWParams.letter_space(), None),
+                  (SWParams.colour_space(), row0),
+                  (SWParams.letter_space().with_(
+                      a_gap_open=-100, a_gap_extend=-1,
+                      b_gap_open=-20, b_gap_extend=-9), None)]:
+        a = np.asarray(sv.sw_score_batch(
+            jnp.asarray(genome), jnp.asarray(read), p,
+            None if r0 is None else jnp.asarray(r0)))
+        b = np.asarray(sv.sw_score_batch_rows(
+            jnp.asarray(genome), jnp.asarray(read), p,
+            None if r0 is None else jnp.asarray(r0)))
+        assert np.array_equal(a, b)
