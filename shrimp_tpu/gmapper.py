@@ -633,36 +633,54 @@ def main(argv: list[str] | None = None) -> int:
                 log(f"- Processed {n_reads} reads "
                     f"({n_reads / max(el, 1e-9):.0f} reads/s)")
     else:
-        while True:
-            batch = []
-            for rec in stream:
-                batch.append(trim_rec(rec))
-                if len(batch) >= batch_size:
-                    break
-            if not batch:
-                break
-            triples = [(r.name, r.seq, r.qual) for r in batch if rec_ok(r)]
-            results = mapper.map_batch(
-                triples, options=unpaired_option_sets or None)
-            for re_e, hits in results:
-                n_reads += 1
-                if hits:
-                    n_matched += 1
-                    if al_file:
-                        al_recs.append(re_e)
-                elif un_file:
-                    un_recs.append(re_e)
-                if shrimp_format:
-                    for line in mapper.legacy_records(re_e, hits, rflag,
-                                                      pretty=pflag):
-                        out.write(line + "\n")
-                else:
-                    for rec in mapper.sam_records(re_e, hits):
-                        out.write(rec.line() + "\n")
-            if progress and n_reads and n_reads % progress < batch_size:
+        def emit_result(re_e, hits):
+            nonlocal n_reads, n_matched
+            n_reads += 1
+            if hits:
+                n_matched += 1
+                if al_file:
+                    al_recs.append(re_e)
+            elif un_file:
+                un_recs.append(re_e)
+            if shrimp_format:
+                for line in mapper.legacy_records(re_e, hits, rflag,
+                                                  pretty=pflag):
+                    out.write(line + "\n")
+            else:
+                for rec in mapper.sam_records(re_e, hits):
+                    out.write(rec.line() + "\n")
+            if progress and n_reads % progress == 0:
                 el = time.time() - t_map0
                 log(f"- Processed {n_reads} reads "
                     f"({n_reads / max(el, 1e-9):.0f} reads/s)")
+
+        if len(unpaired_option_sets) > 1:
+            # multi-round option sets go through map_batch's round loop
+            while True:
+                batch = []
+                for rec in stream:
+                    batch.append(trim_rec(rec))
+                    if len(batch) >= batch_size:
+                        break
+                if not batch:
+                    break
+                triples = [(r.name, r.seq, r.qual)
+                           for r in batch if rec_ok(r)]
+                for re_e, hits in mapper.map_batch(
+                        triples, options=unpaired_option_sets):
+                    emit_result(re_e, hits)
+        else:
+            # single option set: the pipelined stream (host candidate work
+            # overlaps the device DP of neighbouring batches)
+            def triples_gen():
+                for rec in stream:
+                    rec = trim_rec(rec)
+                    if rec_ok(rec):
+                        yield (rec.name, rec.seq, rec.qual)
+            for re_e, hits in mapper.map_stream(
+                    triples_gen(), batch_size=batch_size,
+                    options=unpaired_option_sets or None):
+                emit_result(re_e, hits)
 
     dt = time.time() - t_map0
     if un_file:
