@@ -118,3 +118,35 @@ def test_row_scan_equals_wavefront():
             jnp.asarray(genome), jnp.asarray(read), p,
             None if r0 is None else jnp.asarray(r0)))
         assert np.array_equal(a, b)
+
+
+def test_pallas_kernel_equals_wavefront():
+    """The Pallas VMEM kernel (ops/sw_vector_pallas.py) matches the
+    lax.scan wavefront bit-for-bit (interpret mode on the CPU platform;
+    the compiled Mosaic kernel is verified on-chip)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shrimp_tpu.ops import sw_vector as sv
+    from shrimp_tpu.ops.params import SWParams
+    from shrimp_tpu.ops.sw_vector_pallas import sw_score_batch_pallas
+
+    rng = np.random.default_rng(7)
+    B, G, R = 32, 160, 48
+    genome = rng.integers(0, 4, size=(B, G)).astype(np.int8)
+    read = np.full((B, R), sv.READ_PAD, np.int8)
+    for b in range(B):
+        L = int(rng.integers(16, R + 1))
+        s = int(rng.integers(0, G - L))
+        read[b, :L] = genome[b, s:s + L]
+        for _ in range(int(rng.integers(0, 5))):
+            read[b, int(rng.integers(L))] = rng.integers(0, 4)
+    for p in (SWParams.letter_space(),
+              SWParams.letter_space().with_(
+                  a_gap_open=-100, a_gap_extend=-1,
+                  b_gap_open=-20, b_gap_extend=-9)):
+        ref = np.asarray(sv.sw_score_batch(jnp.asarray(genome),
+                                           jnp.asarray(read), p))
+        pal = np.asarray(sw_score_batch_pallas(
+            jnp.asarray(genome), jnp.asarray(read), p, interpret=True))
+        assert np.array_equal(ref, pal)
