@@ -131,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
     no_autodetect = False
     read_group = None
     sam_header_file = None
+    sam_header_sections = {}
     extra_sam_fields = False
     no_improper = False
     mirna = False
@@ -365,6 +366,12 @@ def main(argv: list[str] | None = None) -> int:
             read_group = a.split(",")
         elif o == "--sam-header":
             sam_header_file = a
+        elif o in ("--sam-header-hd", "--sam-header-sq",
+                   "--sam-header-rg", "--sam-header-pg"):
+            if not os.path.exists(a):
+                log(f"error: could not open sam header file [{a}]")
+                return 1
+            sam_header_sections[o.rsplit("-", 1)[1]] = a
         elif o == "--sam-r2":
             sam_r2 = True
         elif o == "--no-autodetect-input":
@@ -516,12 +523,22 @@ def main(argv: list[str] | None = None) -> int:
         with open(sam_header_file) as fh:
             out.write(fh.read())
     elif not shrimp_format:
-        out.write("@HD\tVN:1.0\tSO:unsorted\n")
-        for nm, ln in zip(idx.contig_names, idx.contig_len):
-            out.write(f"@SQ\tSN:{nm}\tLN:{int(ln)}\n")
-        if read_group:
-            out.write(f"@RG\tID:{read_group[0]}\tSM:{read_group[-1]}\n")
-        out.write(f"@PG\tID:gmapper\tVN:{VERSION}\tCL:{cmdline}\n")
+        # per-section override files (--sam-header-{hd,sq,rg,pg},
+        # gmapper.c:2977-3006)
+        def section(name, default_lines):
+            path = sam_header_sections.get(name)
+            if path:
+                with open(path) as fh:
+                    out.write(fh.read())
+            else:
+                for ln_ in default_lines:
+                    out.write(ln_ + "\n")
+        section("hd", ["@HD\tVN:1.0\tSO:unsorted"])
+        section("sq", [f"@SQ\tSN:{nm}\tLN:{int(ln)}"
+                       for nm, ln in zip(idx.contig_names, idx.contig_len)])
+        section("rg", ([f"@RG\tID:{read_group[0]}\tSM:{read_group[-1]}"]
+                       if read_group else []))
+        section("pg", [f"@PG\tID:gmapper\tVN:{VERSION}\tCL:{cmdline}"])
 
     pcfg = None
     if pair_mode != 0:
