@@ -20,5 +20,30 @@ Layer map (mirrors SURVEY.md):
 
 __version__ = "0.1.0"
 
-from shrimp_tpu import dna  # noqa: F401
-from shrimp_tpu import seeds  # noqa: F401
+
+def _setup_compilation_cache() -> None:
+    """Point JAX at a persistent on-disk compilation cache so repeat CLI
+    invocations skip XLA compiles (the reference binary cold-starts in
+    milliseconds; without this every `python -m shrimp_tpu.gmapper` paid a
+    tens-of-seconds JIT tax).  Opt out with SHRIMP_TPU_NO_COMPILE_CACHE=1."""
+    import os
+    if os.environ.get("SHRIMP_TPU_NO_COMPILE_CACHE"):
+        return
+    cache_dir = os.environ.get(
+        "SHRIMP_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "shrimp_tpu",
+                     "jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:
+        pass          # cache is an optimization; never block startup on it
+
+
+_setup_compilation_cache()
+
+from shrimp_tpu import dna  # noqa: F401,E402
+from shrimp_tpu import seeds  # noqa: F401,E402

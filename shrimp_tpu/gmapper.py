@@ -144,7 +144,12 @@ def main(argv: list[str] | None = None) -> int:
     pflag = False
     trim_illumina = False
 
-    score_updates: dict[str, int] = {}
+    # score assignments are applied strictly in command-line order so a
+    # later -M mirna overrides an earlier -g and vice versa (the reference
+    # assigns globals directly inside the getopt loop)
+    score_assignments: list[tuple[str, int]] = []
+    user_score_flags: set[str] = set()
+    vec_threshold_set = False
 
     for o, a in opts:
         if o in _UNSUPPORTED:
@@ -180,25 +185,30 @@ def main(argv: list[str] | None = None) -> int:
         elif o in ("-z", "--cutoff"):
             cfg.list_cutoff = int(a)
         elif o in ("-m", "--match"):
-            score_updates["match"] = int(a)
+            score_assignments.append(("match", int(a)))
         elif o in ("-i", "--mismatch"):
-            score_updates["mismatch"] = int(a)
+            score_assignments.append(("mismatch", int(a)))
         elif o in ("-g", "--open-r"):
-            score_updates["a_gap_open"] = int(a)
+            score_assignments.append(("a_gap_open", int(a)))
+            user_score_flags.add("a_gap_open")
         elif o in ("-q", "--open-q"):
-            score_updates["b_gap_open"] = int(a)
+            score_assignments.append(("b_gap_open", int(a)))
+            user_score_flags.add("b_gap_open")
         elif o in ("-e", "--ext-r"):
-            score_updates["a_gap_extend"] = int(a)
+            score_assignments.append(("a_gap_extend", int(a)))
+            user_score_flags.add("a_gap_extend")
         elif o in ("-f", "--ext-q"):
-            score_updates["b_gap_extend"] = int(a)
+            score_assignments.append(("b_gap_extend", int(a)))
+            user_score_flags.add("b_gap_extend")
         elif o in ("-x", "--crossover"):
-            score_updates["crossover"] = int(a)
+            score_assignments.append(("crossover", int(a)))
         elif o in ("-r", "--cmv-threshold"):
             thresholds["r"] = (float(a[:-1]) if a.endswith("%")
                                else -float(a))
         elif o in ("-v", "--vec-threshold"):
             thresholds["v"] = (float(a[:-1]) if a.endswith("%")
                                else -float(a))
+            vec_threshold_set = True
         elif o in ("-h", "--full-threshold"):
             thresholds["h"] = (float(a[:-1]) if a.endswith("%")
                                else -float(a))
@@ -222,8 +232,8 @@ def main(argv: list[str] | None = None) -> int:
             # -U also kills gap opens and anchors (gmapper.c:2055-2060)
             cfg.gapless = True
             cfg.anchor_width = 0
-            score_updates.setdefault("a_gap_open", -255)
-            score_updates.setdefault("b_gap_open", -255)
+            score_assignments.append(("a_gap_open", -255))
+            score_assignments.append(("b_gap_open", -255))
         elif o in ("-C", "--negative"):
             cfg.strand_mask = 2
         elif o in ("-F", "--positive"):
@@ -284,13 +294,24 @@ def main(argv: list[str] | None = None) -> int:
         elif o in ("-V", "--trim-off"):
             cfg.list_cutoff = 0xFFFFFFFF
         elif o in ("-M",):
-            if a == "mirna":
+            # set_mode_from_string accepts only "mirna"; anything else —
+            # including ls/cs — is rejected (gmapper.c:1495-1516,2119-2129)
+            for tok in a.split(","):
+                if tok != "mirna":
+                    log(f"error: unrecognized mode ({tok})")
+                    return 1
                 mirna = True
-            elif a in ("ls", "cs"):
-                mode = a
-            else:
-                log(f"error: unknown mode {a!r}")
-                return 1
+                # full set_mode_from_string flag bundle (gmapper.c:1497-1511)
+                use_hashing = True
+                cfg.gapless = True
+                cfg.anchor_width = 0
+                score_assignments.append(("a_gap_open", -255))
+                score_assignments.append(("b_gap_open", -255))
+                cfg.match_mode_unpaired = 1
+                match_mode_set = True
+                cfg.window_len = 100.0
+                cfg.global_alignment = False
+                cfg.compute_mapping_qualities = False
         elif o in ("-1", "--upstream"):
             up_file = a
         elif o in ("-2", "--downstream"):
@@ -385,19 +406,31 @@ def main(argv: list[str] | None = None) -> int:
     cfg.extra_sam_fields = extra_sam_fields
     cfg.sam_r2 = sam_r2
 
-    # -g/-e set without -q/-f imply symmetric query-gap penalties
-    # (gmapper.c:2538-2552)
-    if "a_gap_open" in score_updates and "b_gap_open" not in score_updates:
+    score_updates: dict[str, int] = {}
+    for key, val in score_assignments:
+        score_updates[key] = val
+    # -g/-e set without -q/-f imply symmetric query-gap penalties; driven by
+    # the user-flag booleans, not raw values, so -U/-M presets don't trigger
+    # the notice (gmapper.c:1730-1744,2538-2552)
+    if "a_gap_open" in user_score_flags and \
+            "b_gap_open" not in user_score_flags:
         log("Notice: Gap open penalty set for reference but not query; "
             "assuming symmetry.")
         score_updates["b_gap_open"] = score_updates["a_gap_open"]
-    if "a_gap_extend" in score_updates and \
-            "b_gap_extend" not in score_updates:
+    if "a_gap_extend" in user_score_flags and \
+            "b_gap_extend" not in user_score_flags:
         log("Notice: Gap extend penalty set for reference but not query; "
             "assuming symmetry.")
         score_updates["b_gap_extend"] = score_updates["a_gap_extend"]
     if score_updates:
         cfg.params = cfg.params.with_(**score_updates)
+
+    # user thresholds -r/-v/-h (advisor: previously parsed but dropped);
+    # -v keeps the 47-CS default unless explicitly given
+    cfg.window_gen_threshold = thresholds["r"]
+    if vec_threshold_set:
+        cfg.sw_vect_threshold = thresholds["v"]
+    cfg.sw_full_threshold = thresholds["h"]
 
     # cross-option validation (gmapper.c:2322-2500)
     if not cfg.global_alignment and cfg.compute_mapping_qualities:
@@ -427,11 +460,10 @@ def main(argv: list[str] | None = None) -> int:
         log(f"error: invalid match mode [pair_mode={pair_mode};"
             f"match_mode={mm}]")
         return 1
-    if mirna:
+    if mirna and seed_specs is None and not seed_weight \
+            and load_prefix is None and load_mmap_prefix is None:
+        # default mirna seed set only when none given (gmapper.c:2375-2379)
         seed_specs = seedmod.MIRNA_SEEDS
-        cfg.gapless = True
-        cfg.num_outputs = max(cfg.num_outputs, 100)
-        cfg.anchor_width = 0
 
     log(f"--------------------------------------------------"
         f"------------------------------")
@@ -556,8 +588,18 @@ def main(argv: list[str] | None = None) -> int:
         mapper = Mapper(idx, cfg)
         paired_popts = []
 
-    def trim_rec(rec):
-        if trim_front or trim_end:
+    # --trim-first/--trim-second are paired-mode-only mate selectors
+    # (gmapper.c:425-441,2352-2355)
+    if pair_mode == 0 and (not trim_first or not trim_second):
+        log("error: cannot use --trim-first or --trim-second in "
+            "unpaired mode")
+        return 1
+
+    def trim_rec(rec, mate=None):
+        do_trim = (mate is None
+                   or (mate == 0 and trim_first)
+                   or (mate == 1 and trim_second))
+        if do_trim and (trim_front or trim_end):
             rec.seq = rec.seq[trim_front:len(rec.seq) - trim_end]
             if rec.qual:
                 rec.qual = rec.qual[trim_front:len(rec.qual) - trim_end]
@@ -613,11 +655,10 @@ def main(argv: list[str] | None = None) -> int:
         def pairs_gen():
             buf = None
             for rec in stream:
-                rec = trim_rec(rec)
                 if buf is None:
-                    buf = rec
+                    buf = trim_rec(rec, mate=0)
                     continue
-                r1, r2 = buf, rec
+                r1, r2 = buf, trim_rec(rec, mate=1)
                 buf = None
                 if rec_ok(r1) and rec_ok(r2):
                     yield ((r1.name, r1.seq, r1.qual),

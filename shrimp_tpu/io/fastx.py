@@ -72,9 +72,18 @@ def detect_fastq(path: str) -> bool:
             fh.close()
 
 
+NATIVE_CHUNK = 64 << 20        # bytes of file indexed per native call
+
+
 def _iter_reads_native(path: str, fastq: bool):
     """Bulk record indexing through the native C scanner; returns None when
-    the library is unavailable or the file shape needs the general parser."""
+    the library is unavailable or the file shape needs the general parser.
+
+    The file is scanned in fixed-size chunks (the reference streams through
+    an 8MB buffer, common/fasta.c:60-120): each chunk is indexed by the C
+    scanner, the possibly-truncated final record is dropped, and the next
+    chunk resumes at that record's header — so peak host memory stays
+    O(chunk), not O(file)."""
     import ctypes
 
     from shrimp_tpu import native
@@ -82,39 +91,78 @@ def _iter_reads_native(path: str, fastq: bool):
     lib = native.load()
     if lib is None:
         return None
-    with open(path, "rb") as fh:
-        data = fh.read()
-    if not data:
+    size = os.path.getsize(path)
+    if size == 0:
         return iter(())
-    c_ll = ctypes.c_longlong
-    cnt = lib.fastx_count_records(data, len(data), 1 if fastq else 0)
-    if cnt <= 0:
-        return iter(())
-    width = 6 if fastq else 4
-    spans = np.empty((cnt, width), np.int64)
-    ptr = spans.ctypes.data_as(ctypes.POINTER(c_ll))
-    if fastq:
-        got = lib.fastx_index_fastq(data, len(data), ptr, cnt)
-    else:
-        got = lib.fastx_index_fasta(data, len(data), ptr, cnt)
-    if got < 0:
-        return None                  # malformed/multi-line: general parser
+
+    def index_chunk(data: bytes):
+        """Index one in-memory chunk; (spans, got) or None for fallback."""
+        width = 6 if fastq else 4
+        # min record: '@x\ns\n+\nq\n' = 8 bytes fastq / '>x\ns\n' fasta
+        cap = len(data) // (8 if fastq else 4) + 4
+        spans = np.empty((cap, width), np.int64)
+        ptr = spans.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
+        if fastq:
+            got = lib.fastx_index_fastq(data, len(data), ptr, cap)
+        else:
+            got = lib.fastx_index_fasta(data, len(data), ptr, cap)
+        if got < 0:
+            return None
+        return spans, int(got)
+
+    def emit(data: bytes, spans: np.ndarray, n: int):
+        for i in range(n):
+            row = spans[i]
+            name = data[row[0]:row[1]].decode("ascii")
+            if fastq:
+                yield ReadRecord(name=name,
+                                 seq=data[row[2]:row[3]].decode("ascii"),
+                                 qual=data[row[4]:row[5]].decode("ascii"))
+            else:
+                seq = data[row[2]:row[3]].decode("ascii")
+                yield ReadRecord(
+                    name=name,
+                    seq=seq.replace("\n", "").replace("\r", ""))
 
     def gen():
-        text = data
-        for i in range(int(got)):
-            row = spans[i]
-            name = text[row[0]:row[1]].decode("ascii")
-            if fastq:
-                seq = text[row[2]:row[3]].decode("ascii")
-                qual = text[row[4]:row[5]].decode("ascii")
-                yield ReadRecord(name=name, seq=seq, qual=qual)
-            else:
-                seq = text[row[2]:row[3]].decode("ascii")
-                seq = seq.replace("\n", "").replace("\r", "")
-                yield ReadRecord(name=name, seq=seq)
+        pos = 0
+        chunk = NATIVE_CHUNK
+        with open(path, "rb") as fh:
+            while pos < size:
+                fh.seek(pos)
+                data = fh.read(min(chunk, size - pos))
+                res = index_chunk(data)
+                if res is None:
+                    # malformed/multi-line shapes: re-parse the tail with
+                    # the general reader (keeps earlier chunks' output)
+                    yield from _iter_reads_python_from(path, pos, fastq)
+                    return
+                spans, got = res
+                at_eof = pos + len(data) >= size
+                if not at_eof and got > 0:
+                    # drop the final record (may be truncated) and resume
+                    # at its header marker
+                    got -= 1
+                    if got == 0:
+                        chunk *= 2      # one record larger than the chunk
+                        continue
+                    resume = int(spans[got][0]) - 1
+                else:
+                    resume = len(data)
+                yield from emit(data, spans, got)
+                if at_eof:
+                    return
+                pos += resume
 
     return gen()
+
+
+def _iter_reads_python_from(path: str, offset: int, fastq: bool):
+    """General Python parser starting at a byte offset (native fallback)."""
+    with open(path, "rb") as raw:
+        raw.seek(offset)
+        fh = io.TextIOWrapper(io.BufferedReader(raw, buffer_size=1 << 22))
+        yield from _parse_stream(fh, fastq)
 
 
 def iter_reads(path: str, fastq: bool | None = None):
@@ -138,58 +186,63 @@ def iter_reads(path: str, fastq: bool | None = None):
                 return
     fh = _open_maybe_gz(path)
     try:
-        if fastq:
-            while True:
-                header = fh.readline()
-                if not header:
-                    return
-                header = header.strip()
-                if not header:
-                    continue
-                if not header.startswith("@"):
-                    raise ValueError(f"malformed FASTQ header: {header!r}")
-                name = header[1:].split()[0] if len(header) > 1 else ""
-                seq_parts: list[str] = []
-                line = fh.readline()
-                while line and not line.startswith("+"):
-                    seq_parts.append(line.strip())
-                    line = fh.readline()
-                seq = "".join(seq_parts)
-                # colour-space reads carry no qv for the initial letter base,
-                # so their quality string is one shorter (fasta.c qual_vector
-                # offset handling)
-                expected = len(seq)
-                if (len(seq) >= 2 and seq[0].upper() in "ACGT"
-                        and all(c in "0123.Nn4" for c in seq[1:])):
-                    expected -= 1
-                qual_parts: list[str] = []
-                qlen = 0
-                while qlen < expected:
-                    line = fh.readline()
-                    if not line:
-                        break
-                    part = line.rstrip("\n")
-                    qual_parts.append(part)
-                    qlen += len(part)
-                yield ReadRecord(name=name, seq=seq, qual="".join(qual_parts))
-        else:
-            name = None
-            seq_parts = []
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                if line.startswith(">"):
-                    if name is not None:
-                        yield ReadRecord(name=name, seq="".join(seq_parts))
-                    name = line[1:].split()[0] if len(line) > 1 else ""
-                    seq_parts = []
-                else:
-                    seq_parts.append(line)
-            if name is not None:
-                yield ReadRecord(name=name, seq="".join(seq_parts))
+        yield from _parse_stream(fh, fastq)
     finally:
         fh.close()
+
+
+def _parse_stream(fh, fastq: bool):
+    """The general FASTA/FASTQ parser over an open text stream."""
+    if fastq:
+        while True:
+            header = fh.readline()
+            if not header:
+                return
+            header = header.strip()
+            if not header:
+                continue
+            if not header.startswith("@"):
+                raise ValueError(f"malformed FASTQ header: {header!r}")
+            name = header[1:].split()[0] if len(header) > 1 else ""
+            seq_parts: list[str] = []
+            line = fh.readline()
+            while line and not line.startswith("+"):
+                seq_parts.append(line.strip())
+                line = fh.readline()
+            seq = "".join(seq_parts)
+            # colour-space reads carry no qv for the initial letter base,
+            # so their quality string is one shorter (fasta.c qual_vector
+            # offset handling)
+            expected = len(seq)
+            if (len(seq) >= 2 and seq[0].upper() in "ACGT"
+                    and all(c in "0123.Nn4" for c in seq[1:])):
+                expected -= 1
+            qual_parts: list[str] = []
+            qlen = 0
+            while qlen < expected:
+                line = fh.readline()
+                if not line:
+                    break
+                part = line.rstrip("\n")
+                qual_parts.append(part)
+                qlen += len(part)
+            yield ReadRecord(name=name, seq=seq, qual="".join(qual_parts))
+    else:
+        name = None
+        seq_parts = []
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if name is not None:
+                    yield ReadRecord(name=name, seq="".join(seq_parts))
+                name = line[1:].split()[0] if len(line) > 1 else ""
+                seq_parts = []
+            else:
+                seq_parts.append(line)
+        if name is not None:
+            yield ReadRecord(name=name, seq="".join(seq_parts))
 
 
 def iter_contigs(path: str):

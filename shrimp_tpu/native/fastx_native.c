@@ -72,13 +72,17 @@ long long fastx_index_fastq(const char *buf, long long len,
             name_e--;
 
         const char *seq_s = nl + 1;
+        if (seq_s >= end)
+            break;                  /* record truncated at buffer end */
         nl = find_nl(seq_s, end);
         const char *seq_e = nl;
         if (seq_e > seq_s && seq_e[-1] == '\r')
             seq_e--;
 
         const char *plus = nl + 1;
-        if (plus >= end || *plus != '+')
+        if (plus >= end)
+            break;                  /* record truncated at buffer end */
+        if (*plus != '+')
             return -1;              /* multi-line fastq: fall back */
         nl = find_nl(plus, end);
 
@@ -139,6 +143,8 @@ long long fastx_index_fasta(const char *buf, long long len,
         } else {
             p = find_nl(p, end) + 1;
         }
+        if (p > end)
+            p = end;                /* no trailing newline: close record */
     }
     return n;
 }

@@ -20,6 +20,7 @@ Known equivalences vs the reference (verified by golden byte-parity tests):
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -139,6 +140,15 @@ class Mapper:
         self.stats = {"reads": 0, "reads_matched": 0, "reads_dropped": 0,
                       "total_matches": 0, "pass1_windows": 0,
                       "pass2_windows": 0}
+        # the pipelined streams run two batches on worker threads; counter
+        # read-modify-writes must not interleave (#pragma omp atomic
+        # analogue, mapping.c:1732-1750)
+        self._stats_lock = threading.Lock()
+
+    def _bump(self, **deltas) -> None:
+        with self._stats_lock:
+            for k, v in deltas.items():
+                self.stats[k] += v
 
     # ------------------------------------------------------------------
     def _gather_windows(self, plane: np.ndarray, cn: np.ndarray,
@@ -211,10 +221,9 @@ class Mapper:
         option_sets = options or cfg.unpaired_options()
 
         entries = cand.prepare_reads(reads, cfg, self.min_seed_span)
-        self.stats["reads"] += len(entries)
         ok = np.array([e.read_len <= cfg.longest_read_len
                        and e.max_n_kmers > 0 for e in entries])
-        self.stats["reads_dropped"] += int((~ok).sum())
+        self._bump(reads=len(entries), reads_dropped=int((~ok).sum()))
 
         live_entries = [e for e, o in zip(entries, ok) if o]
         live_map = np.flatnonzero(ok)
@@ -231,10 +240,10 @@ class Mapper:
             per_read: dict[int, list[FinalHit]] = {}
             hb = self._candidates(sub, opts)
             if hb.n:
-                self.stats["pass1_windows"] += hb.n
+                self._bump(pass1_windows=hb.n)
                 sel = self._pass1(sub, hb, opts)
                 if sel is not None:
-                    self.stats["pass2_windows"] += len(sel["rid"])
+                    self._bump(pass2_windows=len(sel["rid"]))
                     per_read = self._pass2(sub, sel, opts)
             nxt = []
             for k, li in enumerate(pending):
@@ -250,10 +259,9 @@ class Mapper:
                         nxt.append(li)
             pending = nxt
 
-        for hits in results:
-            if hits:
-                self.stats["reads_matched"] += 1
-                self.stats["total_matches"] += len(hits)
+        n_m = sum(1 for hits in results if hits)
+        n_t = sum(len(hits) for hits in results)
+        self._bump(reads_matched=n_m, total_matches=n_t)
         return list(zip(entries, results))
 
     # ------------------------------------------------------------------
@@ -270,17 +278,16 @@ class Mapper:
 
         def stage0(reads):
             entries = cand.prepare_reads(reads, cfg, self.min_seed_span)
-            self.stats["reads"] += len(entries)
             ok = np.array([e.read_len <= cfg.longest_read_len
                            and e.max_n_kmers > 0 for e in entries])
-            self.stats["reads_dropped"] += int((~ok).sum())
+            self._bump(reads=len(entries), reads_dropped=int((~ok).sum()))
             live = [e for e, o in zip(entries, ok) if o]
             live_map = np.flatnonzero(ok)
             hb = self._candidates(live, opts) if live else None
             p1 = (self._pass1_dispatch(live, hb, opts)
                   if hb is not None and hb.n else None)
             if hb is not None and hb.n:
-                self.stats["pass1_windows"] += hb.n
+                self._bump(pass1_windows=hb.n)
             return {"entries": entries, "live": live, "live_map": live_map,
                     "hb": hb, "p1": p1}
 
@@ -294,7 +301,7 @@ class Mapper:
             st0["p2"] = (self._pass2_dispatch(st0["live"], sel)
                          if sel is not None else None)
             if sel is not None:
-                self.stats["pass2_windows"] += len(sel["rid"])
+                self._bump(pass2_windows=len(sel["rid"]))
             return st0
 
         def stage2(st0):
@@ -305,10 +312,9 @@ class Mapper:
                                               st0["p2"])
                 for li, hits in per_read.items():
                     results[st0["live_map"][li]] = hits
-            for hits in results:
-                if hits:
-                    self.stats["reads_matched"] += 1
-                    self.stats["total_matches"] += len(hits)
+            n_m = sum(1 for hits in results if hits)
+            n_t = sum(len(hits) for hits in results)
+            self._bump(reads_matched=n_m, total_matches=n_t)
             return list(zip(entries, results))
 
         in_p1 = None     # batch with pass1 dispatched
