@@ -202,16 +202,18 @@ def main(argv: list[str] | None = None) -> int:
             user_score_flags.add("b_gap_extend")
         elif o in ("-x", "--crossover"):
             score_assignments.append(("crossover", int(a)))
-        elif o in ("-r", "--cmv-threshold"):
-            thresholds["r"] = (float(a[:-1]) if a.endswith("%")
-                               else -float(a))
-        elif o in ("-v", "--vec-threshold"):
-            thresholds["v"] = (float(a[:-1]) if a.endswith("%")
-                               else -float(a))
-            vec_threshold_set = True
-        elif o in ("-h", "--full-threshold"):
-            thresholds["h"] = (float(a[:-1]) if a.endswith("%")
-                               else -float(a))
+        elif o in ("-r", "--cmv-threshold", "-v", "--vec-threshold",
+                   "-h", "--full-threshold"):
+            try:
+                val = (float(a[:-1]) if a.endswith("%") else -float(a))
+            except ValueError:
+                log(f"error: invalid threshold [{a}]")
+                return 1
+            key = ("r" if o in ("-r", "--cmv-threshold")
+                   else "v" if o in ("-v", "--vec-threshold") else "h")
+            thresholds[key] = val
+            if key == "v":
+                vec_threshold_set = True
         elif o in ("-N", "--threads"):
             threads = int(a)
         elif o in ("-K", "--thread-chunk"):

@@ -21,6 +21,7 @@ Known equivalences vs the reference (verified by golden byte-parity tests):
 from __future__ import annotations
 
 import threading
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -34,6 +35,7 @@ from shrimp_tpu.pipeline import candidates as cand
 from shrimp_tpu.pipeline import candidates_batch as cb
 from shrimp_tpu.pipeline.options import (MapperConfig, ReadMappingOptions,
                                          abs_or_pct, is_absolute)
+from shrimp_tpu.utils import telemetry
 
 
 def _round_up(x: int, m: int) -> int:
@@ -139,7 +141,9 @@ class Mapper:
         self.min_seed_span = index.seed_set.min_span
         self.stats = {"reads": 0, "reads_matched": 0, "reads_dropped": 0,
                       "total_matches": 0, "pass1_windows": 0,
-                      "pass2_windows": 0}
+                      "pass2_windows": 0, "dup_matches_pruned": 0,
+                      "reads_dropped_max_aln": 0, "reads_matched_conf": 0}
+        self.tel = telemetry.Telemetry()
         # the pipelined streams run two batches on worker threads; counter
         # read-modify-writes must not interleave (#pragma omp atomic
         # analogue, mapping.c:1732-1750)
@@ -220,7 +224,8 @@ class Mapper:
         cfg = self.cfg
         option_sets = options or cfg.unpaired_options()
 
-        entries = cand.prepare_reads(reads, cfg, self.min_seed_span)
+        with self.tel.stage("readparse"):
+            entries = cand.prepare_reads(reads, cfg, self.min_seed_span)
         ok = np.array([e.read_len <= cfg.longest_read_len
                        and e.max_n_kmers > 0 for e in entries])
         self._bump(reads=len(entries), reads_dropped=int((~ok).sum()))
@@ -241,10 +246,12 @@ class Mapper:
             hb = self._candidates(sub, opts)
             if hb.n:
                 self._bump(pass1_windows=hb.n)
-                sel = self._pass1(sub, hb, opts)
+                with self.tel.stage("pass1"):
+                    sel = self._pass1(sub, hb, opts)
                 if sel is not None:
                     self._bump(pass2_windows=len(sel["rid"]))
-                    per_read = self._pass2(sub, sel, opts)
+                    with self.tel.stage("pass2"):
+                        per_read = self._pass2(sub, sel, opts)
             nxt = []
             for k, li in enumerate(pending):
                 hits = per_read.get(k, [])
@@ -277,15 +284,17 @@ class Mapper:
         opts = (options or cfg.unpaired_options())[0]
 
         def stage0(reads):
-            entries = cand.prepare_reads(reads, cfg, self.min_seed_span)
+            with self.tel.stage("readparse"):
+                entries = cand.prepare_reads(reads, cfg, self.min_seed_span)
             ok = np.array([e.read_len <= cfg.longest_read_len
                            and e.max_n_kmers > 0 for e in entries])
             self._bump(reads=len(entries), reads_dropped=int((~ok).sum()))
             live = [e for e, o in zip(entries, ok) if o]
             live_map = np.flatnonzero(ok)
             hb = self._candidates(live, opts) if live else None
-            p1 = (self._pass1_dispatch(live, hb, opts)
-                  if hb is not None and hb.n else None)
+            with self.tel.stage("pass1"):
+                p1 = (self._pass1_dispatch(live, hb, opts)
+                      if hb is not None and hb.n else None)
             if hb is not None and hb.n:
                 self._bump(pass1_windows=hb.n)
             return {"entries": entries, "live": live, "live_map": live_map,
@@ -296,10 +305,13 @@ class Mapper:
                 st0["sel"] = None
                 st0["p2"] = None
                 return st0
-            sel = self._pass1_finish(st0["live"], st0["hb"], opts, st0["p1"])
+            with self.tel.stage("pass1"):
+                sel = self._pass1_finish(st0["live"], st0["hb"], opts,
+                                         st0["p1"])
             st0["sel"] = sel
-            st0["p2"] = (self._pass2_dispatch(st0["live"], sel)
-                         if sel is not None else None)
+            with self.tel.stage("pass2"):
+                st0["p2"] = (self._pass2_dispatch(st0["live"], sel)
+                             if sel is not None else None)
             if sel is not None:
                 self._bump(pass2_windows=len(sel["rid"]))
             return st0
@@ -308,8 +320,9 @@ class Mapper:
             entries = st0["entries"]
             results = [[] for _ in entries]
             if st0["p2"] is not None:
-                per_read = self._pass2_finish(st0["live"], st0["sel"], opts,
-                                              st0["p2"])
+                with self.tel.stage("pass2"):
+                    per_read = self._pass2_finish(st0["live"], st0["sel"],
+                                                  opts, st0["p2"])
                 for li, hits in per_read.items():
                     results[st0["live_map"][li]] = hits
             n_m = sum(1 for hits in results if hits)
@@ -347,13 +360,21 @@ class Mapper:
         for st in (0, 1):
             if not (self.cfg.strand_mask >> st) & 1:
                 continue
-            ab = cb.anchors_batch(
-                entries, self.index, st,
-                collapse=opts.anchor_list.collapse,
-                list_cutoff=self.index.list_cutoff,
-                use_region_counts=opts.anchor_list.use_region_counts)
-            parts.append(cb.hit_list_batch(entries, self.index, ab,
-                                           opts.hit_list, self.cfg))
+            region_filter = None
+            if opts.anchor_list.use_region_counts:
+                def region_filter(rid, x):
+                    with self.tel.stage("region_counts"):
+                        return cb.region_has2_filter(rid, x)
+            with self.tel.stage("anchor_list"):
+                ab = cb.anchors_batch(
+                    entries, self.index, st,
+                    collapse=opts.anchor_list.collapse,
+                    list_cutoff=self.index.list_cutoff,
+                    use_region_counts=opts.anchor_list.use_region_counts,
+                    region_filter=region_filter)
+            with self.tel.stage("hit_list"):
+                parts.append(cb.hit_list_batch(entries, self.index, ab,
+                                               opts.hit_list, self.cfg))
         merged = cb.HitBatch(**{
             f: np.concatenate([getattr(h, f) for h in parts])
             for f in ("rid", "st", "cn", "g_off", "w_len",
@@ -370,6 +391,102 @@ class Mapper:
             out[n, :len(codes)] = codes
         return out
 
+    def _gapless_scores(self, entries, rid, st, cn, g_off_pos, ax, ay,
+                        al, aw, w_len, R: int, NB: int, sync: bool = True):
+        """Pass-1 gapless scores: sw_gapless along the anchor diagonal
+        (f1_run with gapless=true, f1-wrapper.h:118-120; sw-gapless.c:58).
+
+        g_idx = g_off + anchor.x, r_idx = anchor.y in the hit's genome-strand
+        frame (read_pass1_per_strand, mapping.c:1335-1348); CS applies the
+        reverse_hit framing and the forced-first-colour rule first."""
+        from shrimp_tpu.ops import sw_gapless
+        cfg = self.cfg
+        coff = self.index.contig_offsets[cn]
+        clen = self.index.contig_len[cn]
+        rlen = np.array([entries[r].read_len for r in rid], np.int64)
+        wl = w_len.astype(np.int64)
+        ax = ax.astype(np.int64)
+        ay = ay.astype(np.int64)
+        cols = np.arange(R, dtype=np.int64)[None, :]
+
+        def diag_rows(plane, g_left):
+            gi = g_left[:, None] + cols
+            src = np.minimum(coff[:, None] + gi, len(plane) - 1)
+            out = plane[src]
+            return np.where(gi < clen[:, None], out,
+                            np.int8(sw_gapless.GENOME_PAD)).astype(np.int8)
+
+        def read_rows(istrand_arr, r_left):
+            rb = self._reads_matrix(entries, rid, istrand_arr, R)
+            rb = np.concatenate(
+                [rb, np.full((len(rid), 1), sw_gapless.READ_PAD, np.int8)],
+                axis=1)
+            ri = np.minimum(r_left[:, None] + cols, R)
+            return np.take_along_axis(rb, ri, axis=1)
+
+        if not cfg.colour_space:
+            g_idx = g_off_pos.astype(np.int64) + ax
+            d0 = g_idx - ay
+            g_left = np.maximum(d0, 0)
+            r_left = np.maximum(-d0, 0)
+            diag = diag_rows(self.index.genome, g_left)
+            rrow = read_rows(st, r_left)
+            diag = _pad_rows(diag, NB, sw_gapless.GENOME_PAD)
+            rrow = _pad_rows(rrow, NB, sw_gapless.READ_PAD)
+            dev = sw_gapless.gapless_score_batch(diag, rrow,
+                                                 self.vect_params)
+            if not sync:
+                return dev
+            return np.asarray(dev)[:len(rid)].astype(np.int64)
+
+        # ---- colour space: reverse_hit framing (mapping.c:272-281);
+        # CS input strand is always 0 (the read as given) ----
+        istrand = np.zeros(len(rid), np.int8)
+        rev = st != istrand
+        goff_f = np.where(rev, clen - g_off_pos - wl, g_off_pos)
+        al = al.astype(np.int64)
+        aw = aw.astype(np.int64)
+        ax_f = np.where(rev, -ax + (wl - 1) - (al - 1) - (aw - 1), ax)
+        ay_f = np.where(rev, -ay + (rlen - 1) - (al - 1) + (aw - 1), ay)
+        g_idx = goff_f + ax_f
+        d0 = g_idx - ay_f
+        g_left = np.maximum(d0, 0)
+        r_left = np.maximum(-d0, 0)
+        diag_cs = np.where(
+            rev[:, None],
+            diag_rows(self.genome_cs_rc, g_left),
+            diag_rows(self.genome_cs, g_left))
+        diag_ls = np.where(
+            rev[:, None],
+            diag_rows(self.genome_rc, g_left),
+            diag_rows(self.index.genome, g_left))
+        rrow = read_rows(istrand, r_left)
+        # forced first colour when the diagonal starts at read position 0
+        # (sw-gapless.c:85-95): lstocs(genome_ls[g], initbp) vs read[0]
+        initbp = np.array([entries[r].initbp for r in rid], np.int8)
+        gl0 = diag_ls[:, 0]
+        real_colour = np.where((gl0 >= 0) & (gl0 <= 3), gl0 ^ initbp,
+                               np.int8(dna.BASE_N))
+        forced = r_left == 0
+        p = self.vect_params
+        s0 = np.where(
+            forced,
+            np.where(real_colour == rrow[:, 0], np.int32(p.match), 0),
+            np.where(
+                (diag_cs[:, 0] != sw_gapless.GENOME_PAD)
+                & (rrow[:, 0] != sw_gapless.READ_PAD),
+                np.where(diag_cs[:, 0] == rrow[:, 0],
+                         np.int32(p.match), np.int32(p.mismatch)),
+                0)).astype(np.int32)
+        diag_cs = _pad_rows(diag_cs.astype(np.int8), NB,
+                            sw_gapless.GENOME_PAD)
+        rrow = _pad_rows(rrow, NB, sw_gapless.READ_PAD)
+        s0 = _pad_rows(s0, NB, 0)
+        dev = sw_gapless.gapless_score_batch(diag_cs, rrow, p, s0=s0)
+        if not sync:
+            return dev
+        return np.asarray(dev)[:len(rid)].astype(np.int64)
+
     def _pass1_dispatch(self, entries, hb: cb.HitBatch, opts):
         """Dispatch the pass-1 vector-SW kernel; returns a context whose
         device handle is still in flight (async JAX dispatch)."""
@@ -382,9 +499,17 @@ class Mapper:
         G = _round_up(max(1, int(hb.w_len[idxs].max())), 32)
         R = _round_up(max(e.read_len for e in entries), 32)
         NB = _bucket_rows(len(idxs))
-        dev = self._vector_scores(
-            entries, rid, st, hb.cn[idxs], hb.g_off[idxs], hb.w_len[idxs],
-            np.zeros(len(rid), np.int8), G, R, NB, sync=False)
+        if opts.pass1.gapless:
+            dev = self._gapless_scores(
+                entries, rid, st, hb.cn[idxs], hb.g_off[idxs],
+                hb.anchor_x[idxs], hb.anchor_y[idxs],
+                hb.anchor_length[idxs], hb.anchor_width[idxs],
+                hb.w_len[idxs], R, NB, sync=False)
+        else:
+            dev = self._vector_scores(
+                entries, rid, st, hb.cn[idxs], hb.g_off[idxs],
+                hb.w_len[idxs], np.zeros(len(rid), np.int8), G, R, NB,
+                sync=False)
         return {"idxs": idxs, "rid": rid, "st": st, "dev": dev, "R": R}
 
     def _pass1(self, entries, hb: cb.HitBatch, opts):
@@ -401,7 +526,9 @@ class Mapper:
         idxs = ctx["idxs"]
         rid = ctx["rid"]
         st = ctx["st"]
+        _t0 = time.time()
         scores = np.asarray(ctx["dev"])[:len(idxs)].astype(np.int64)
+        _f1_secs = time.time() - _t0
         score_max = hb.score_max[idxs].astype(np.int64)
         if opts.pass1.threshold >= 0:
             thr = (score_max * (opts.pass1.threshold / 100.0))
@@ -430,6 +557,17 @@ class Mapper:
                 lg_ptr = n
 
         eff_scores = np.where(suppressed, 0, scores)
+        # kernel telemetry: the reference invokes the filter only for
+        # non-suppressed hits (read_pass1_per_strand, mapping.c:1303-1330);
+        # cells = glen*rlen (sw-vector.c:509) or rlen (sw-gapless.c:105)
+        _inv = int((~suppressed).sum())
+        _rlen = np.array([entries[r].read_len for r in rid], np.int64)
+        if opts.pass1.gapless:
+            _cells = int(_rlen[~suppressed].sum())
+        else:
+            _cells = int((hb.w_len[idxs][~suppressed].astype(np.int64)
+                          * _rlen[~suppressed]).sum())
+        self.tel.f1.add(_inv, _cells, _f1_secs)
         live = eff_scores >= thr
         if not live.any():
             return None
@@ -440,15 +578,16 @@ class Mapper:
         # ARRAY order feeds pass2 and breaks all downstream ties
         # (read_get_vector_hits, mapping.c:1394-1432)
         from shrimp_tpu.utils import extheap
-        sel_rows = []
-        ln = np.flatnonzero(live)
-        by_read: dict[int, list[int]] = {}
-        for n in ln:                      # stream order = hit-list order
-            by_read.setdefault(int(rid[n]), []).append(int(n))
-        for r in sorted(by_read):
-            sel_rows.extend(extheap.topk_select(
-                by_read[r], key, opts.pass1.num_outputs))
-        sel_rows = np.array(sel_rows, dtype=np.int64)
+        with self.tel.stage("get_vector_hits"):
+            sel_rows = []
+            ln = np.flatnonzero(live)
+            by_read: dict[int, list[int]] = {}
+            for n in ln:                  # stream order = hit-list order
+                by_read.setdefault(int(rid[n]), []).append(int(n))
+            for r in sorted(by_read):
+                sel_rows.extend(extheap.topk_select(
+                    by_read[r], key, opts.pass1.num_outputs))
+            sel_rows = np.array(sel_rows, dtype=np.int64)
         src = idxs[sel_rows]
         return {
             "rid": rid[sel_rows], "st": st[sel_rows],
@@ -500,6 +639,9 @@ class Mapper:
         rb = self._reads_matrix(entries, rid, np.zeros(N, np.int8), R)
         rev = rev_mask & cfg.rev_tiebreak
 
+        # f2 telemetry: banded cell count per row (sw-full-ls.c:237,
+        # sw-full-cs.c:327); full rows when banding is disabled
+        _f2_cells = None
         band_xmin = band_xmax = None
         if cfg.anchor_width >= 0:
             # anchor_widen (sw-full-ls.c:175-178)
@@ -508,6 +650,9 @@ class Mapper:
             bw = aw + cfg.anchor_width
             band_xmin, band_xmax = sw_full.compute_band(bx, by, al, bw,
                                                         w_len, R)
+            _rows = np.arange(R)[None, :] < rlen[:, None]
+            _f2_cells = int(np.where(
+                _rows, band_xmax.astype(np.int64) - band_xmin + 1, 0).sum())
             band_xmin = _pad_rows(band_xmin, NB, 0)
             band_xmax = _pad_rows(band_xmax, NB, 0)
 
@@ -538,9 +683,12 @@ class Mapper:
                 gb, rb, rev, cfg.params,
                 local_alignment=not cfg.global_alignment,
                 band_xmin=band_xmin, band_xmax=band_xmax)
+        if _f2_cells is None:
+            _f2_cells = int((w_len * rlen).sum())
+        self.tel.f2.add(N, _f2_cells)
         return {"stats_d": stats_d, "ops_d": ops_d, "qr4": qr4, "gb": gb,
                 "N": N, "gen_st": gen_st, "g_off": g_off, "w_len": w_len,
-                "cn": cn}
+                "cn": cn, "t_dispatch": time.time()}
 
     def _pass2_finish(self, entries, sel, opts, ctx):
         cfg = self.cfg
@@ -551,7 +699,9 @@ class Mapper:
         g_off = ctx["g_off"]
         w_len = ctx["w_len"]
         cn = ctx["cn"]
+        _t0 = time.time()
         stats = np.asarray(ctx["stats_d"])[:N]
+        self.tel.f2.secs += time.time() - _t0
         crossovers = stats[:, 10] if cfg.colour_space else None
         ops_all = np.asarray(ctx["ops_d"])[:N]
         score = stats[:, 0]
@@ -602,9 +752,15 @@ class Mapper:
                                   "dbalign": dbal, "qralign": qral})
                     item_rows.append(n)
             if items:
+                _t0 = time.time()
                 res = post_sw_mod.post_sw_batch(
                     items, self.probs, qual_delta=cfg.qual_delta,
                     qual_vector_offset=cfg.qual_vector_offset)
+                # post_sw: cells = 16 * alignment columns (sw-post.c:716)
+                self.tel.fwbw.add(
+                    len(items),
+                    16 * sum(len(it["dbalign"]) for it in items),
+                    time.time() - _t0)
                 for n, r in zip(item_rows, res):
                     cs_posteriors[n] = r
 
@@ -696,6 +852,7 @@ class Mapper:
             if opts.pass2.strata:
                 pass                      # single hit: strata is a no-op
             if cfg.max_alignments and 1 > cfg.max_alignments:
+                self._bump(reads_dropped_max_aln=1)
                 return []
             if compute_mqv:
                 mqvs, z1 = mapq.compute_unpaired_mqv(
@@ -720,7 +877,10 @@ class Mapper:
                 i = j
             return outl
 
-        dedup = dedup_by(dedup_by(finals, gen_start_key), gen_end_key)
+        with self.tel.stage("duplicate_removal"):
+            dedup = dedup_by(dedup_by(finals, gen_start_key), gen_end_key)
+        if len(dedup) < len(finals):
+            self._bump(dup_matches_pruned=len(finals) - len(dedup))
         dedup.sort(key=lambda fh: -fh.pass2_key)
         dedup = dedup[:opts.pass2.num_outputs]
 
@@ -729,6 +889,7 @@ class Mapper:
             dedup = [fh for fh in dedup if fh.score_full == top]
 
         if dedup and cfg.max_alignments and len(dedup) > cfg.max_alignments:
+            self._bump(reads_dropped_max_aln=1)
             return []
 
         if compute_mqv and dedup:

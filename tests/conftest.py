@@ -9,6 +9,10 @@ import os
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8").strip()
+# Subprocesses spawned by CLI tests inherit this and run on CPU too — the
+# kernels are integer-exact across backends, and CPU skips the TPU-tunnel
+# compile/link latency that dominated suite wall-clock.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
