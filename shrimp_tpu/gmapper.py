@@ -45,6 +45,7 @@ _LONG = [
     "no-improper-mappings", "qv-offset=", "sam-header-hd=", "sam-header-sq=",
     "sam-header-rg=", "sam-header-pg=", "no-autodetect-input", "local",
     "no-qv-check", "ignore-qvs", "enable-seed-qual-filter",
+    "index-format=",
     # colour-space extras
     "crossover=", "vec-threshold=", "bfast",
     # letter-space extras
@@ -126,7 +127,7 @@ def main(argv: list[str] | None = None) -> int:
     d_stats = False
     trim_front = trim_end = 0
     trim_first = trim_second = True
-    min_avg_qv = -1
+    min_avg_qv = 10              # DEF min_avg_qv (gmapper.h:81)
     no_qv_check = False
     no_autodetect = False
     read_group = None
@@ -143,6 +144,16 @@ def main(argv: list[str] | None = None) -> int:
     rflag = False
     pflag = False
     trim_illumina = False
+    no_hash_filter_calls = False
+    index_format = "npz"
+
+    def _region_bits():
+        from shrimp_tpu.pipeline import candidates_batch as _cb
+        return _cb.REGION_BITS
+
+    def _region_overlap():
+        from shrimp_tpu.pipeline import candidates_batch as _cb
+        return _cb.REGION_OVERLAP
 
     # score assignments are applied strictly in command-line order so a
     # later -M mirna overrides an earlier -g and vice versa (the reference
@@ -288,7 +299,7 @@ def main(argv: list[str] | None = None) -> int:
         elif o in ("-Y", "--proj-histogram"):
             y_proj_hist = True
         elif o in ("-Z", "--cachebypass-off"):
-            pass                      # no SW cache in this build
+            no_hash_filter_calls = True   # display-parity; no SW cache here
         elif o in ("-H", "--hash-spaced-kmers"):
             use_hashing = True
         elif o in ("-D", "--thread-stats"):
@@ -314,6 +325,7 @@ def main(argv: list[str] | None = None) -> int:
                 cfg.window_len = 100.0
                 cfg.global_alignment = False
                 cfg.compute_mapping_qualities = False
+                no_hash_filter_calls = True
         elif o in ("-1", "--upstream"):
             up_file = a
         elif o in ("-2", "--downstream"):
@@ -356,6 +368,9 @@ def main(argv: list[str] | None = None) -> int:
             no_qv_check = True
         elif o == "--min-avg-qv":
             min_avg_qv = int(a)
+            if min_avg_qv < -2 or min_avg_qv > 40:
+                # reference prints the error but keeps going (gmapper.c:2219)
+                log(f"error: invalid minimum average quality value ({a})")
         elif o == "--indel-taboo-len":
             cfg.indel_taboo_len = int(a)
         elif o == "--trim-front":
@@ -397,6 +412,11 @@ def main(argv: list[str] | None = None) -> int:
             sam_header_sections[o.rsplit("-", 1)[1]] = a
         elif o == "--sam-r2":
             sam_r2 = True
+        elif o == "--index-format":
+            if a not in ("npz", "ref", "both"):
+                log(f"error: invalid index format {a!r} (npz|ref|both)")
+                return 1
+            index_format = a
         elif o == "--no-autodetect-input":
             no_autodetect = True
         elif o in ("-?", "--help"):
@@ -474,6 +494,19 @@ def main(argv: list[str] | None = None) -> int:
     log(f"--------------------------------------------------"
         f"------------------------------")
 
+    # ----- insert-size histogram setup (gmapper.c:2357-2368) -----
+    from shrimp_tpu.utils import telemetry
+    insert_histogram = None
+    insert_bucket_size = 1
+    if x_isize_hist and pair_mode == 0:
+        log("warning: insert histogram not available in unpaired mode; "
+            "ignoring")
+        x_isize_hist = False
+    if pair_mode != 0:
+        insert_bucket_size = telemetry.ceil_div(
+            isize_max - isize_min + 1, 100)
+        insert_histogram = [1] * 100          # +1 prior per bucket
+
     # ----- index acquisition -----
     t0 = time.time()
     if load_mmap_prefix is not None:
@@ -485,7 +518,17 @@ def main(argv: list[str] | None = None) -> int:
         log(f"Attached shared index [{load_mmap_prefix}] "
             f"({time.time() - t0:.1f}s)")
     elif load_prefix is not None:
-        idx = gindex.GenomeIndex.load(load_prefix)
+        if not os.path.exists(load_prefix + ".idx.npz"):
+            from shrimp_tpu.io import refindex
+            if refindex.is_reference_index(load_prefix):
+                # reference-format projection (.genome/.seed.N from the
+                # reference's gmapper -S / project-db.py)
+                idx = refindex.load(load_prefix)
+            else:
+                log(f"error: no index found under prefix [{load_prefix}]")
+                return 1
+        else:
+            idx = gindex.GenomeIndex.load(load_prefix)
         if idx.colour_space != colour:
             log("error: index space does not match mapper mode")
             return 1
@@ -506,6 +549,84 @@ def main(argv: list[str] | None = None) -> int:
                 genome_files = positional[1:]
         seed_set = seedmod.make_seed_set(seed_specs, weight=seed_weight,
                                          use_hashing=use_hashing)
+        # settings echo (print_settings, gmapper.c:1348-1443; printed only
+        # when not loading a projection, :2719-2721)
+        def _option_printers():
+            from shrimp_tpu.ops.params import ScoreProbs
+            printers = []
+            if pair_mode != 0:
+                def p_paired(out):
+                    out(f"Paired mapping options, set [0]")
+                    _print_paired_set_default(out)
+                printers.append(p_paired)
+            else:
+                sets = (unpaired_option_sets
+                        or cfg.unpaired_options())
+                for i, os_ in enumerate(sets):
+                    def p_unp(out, i=i, os_=os_):
+                        out(f"Unpaired mapping options, set [{i}]")
+                        telemetry.print_read_mapping_options(out, os_, False)
+                    printers.append(p_unp)
+            return printers
+
+        def _print_paired_set_default(out):
+            # default paired construction (gmapper.c:2634-2716)
+            class _P:
+                pair_mode_name = PAIR_MODE_NAMES[pair_mode]
+                min_insert_size = isize_min
+                max_insert_size = isize_max
+                pass1_num_outputs = 3 * cfg.num_outputs
+                pass2_num_outputs = cfg.num_outputs
+                pass1_threshold = cfg.vect_threshold()
+                pass2_threshold = cfg.sw_full_threshold
+                strata = cfg.strata
+                save_outputs = cfg.compute_mapping_qualities
+                stop_count = 1 if cfg.half_paired else 0
+                stop_threshold = 101.0 if cfg.half_paired else 50.0
+            telemetry.print_pairing_options(out, _P)
+            from shrimp_tpu.pipeline.options import ReadMappingOptions
+            mm2 = cfg.match_mode_unpaired
+            ro = ReadMappingOptions()
+            ro.regions.recompute = cfg.use_regions and mm2 != 2
+            ro.anchor_list.use_region_counts = cfg.use_regions and mm2 != 2
+            if cfg.use_regions:
+                ro.anchor_list.use_mp_region_counts = (
+                    1 if mm2 == 4 and not cfg.half_paired
+                    else 2 if mm2 == 3 and cfg.half_paired
+                    else 3 if mm2 == 3 and not cfg.half_paired else 0)
+            ro.hit_list.gapless = cfg.gapless
+            ro.hit_list.match_mode = (2 if mm2 == 4 else 3 if mm2 == 3
+                                      else 1)
+            ro.hit_list.threshold = cfg.window_gen_threshold
+            ro.pass1.only_paired = True
+            ro.pass1.gapless = cfg.gapless
+            ro.pass1.min_matches = 2 if mm2 == 4 else 1
+            ro.pass1.threshold = cfg.vect_threshold()
+            ro.pass1.window_overlap = cfg.window_overlap
+            ro.pass2.strata = cfg.strata
+            ro.pass2.threshold = cfg.sw_full_threshold * 0.5
+            telemetry.print_read_mapping_options(log, ro, True)
+            telemetry.print_read_mapping_options(log, ro, True)
+
+        from shrimp_tpu.ops.params import ScoreProbs
+        telemetry.print_settings(
+            log, seed_set=seed_set, num_threads=threads, chunk_size=chunk,
+            window_len=cfg.window_len,
+            hash_filter_calls=not no_hash_filter_calls,
+            anchor_width=cfg.anchor_width,
+            indel_taboo_len=cfg.indel_taboo_len,
+            list_cutoff=cfg.list_cutoff, def_list_cutoff=0xFFFFFFFF,
+            gapless=cfg.gapless, global_alignment=cfg.global_alignment,
+            use_regions=cfg.use_regions,
+            region_bits=_region_bits(), region_overlap=_region_overlap(),
+            qflag=bool(fastq), ignore_qvs=cfg.ignore_qvs,
+            min_avg_qv=min_avg_qv,
+            compute_mapping_qualities=cfg.compute_mapping_qualities,
+            all_contigs=cfg.all_contigs,
+            single_best_mapping=cfg.single_best_mapping,
+            colour_space=colour, params=cfg.params,
+            probs=ScoreProbs.from_scores(cfg.params, colour),
+            option_set_printers=_option_printers())
         contigs = []
         for gf in genome_files:
             log(f"- Processing genome file [{gf}]")
@@ -516,6 +637,7 @@ def main(argv: list[str] | None = None) -> int:
         if cfg.list_cutoff != 0xFFFFFFFF:
             idx.trim(cfg.list_cutoff)
         log(f"Loaded Genome ({time.time() - t0:.1f}s)")
+    load_genome_secs = time.time() - t0
 
     if y_proj_hist:
         for sn in range(len(idx.offsets)):
@@ -534,7 +656,13 @@ def main(argv: list[str] | None = None) -> int:
             f"cross-process residency)")
         return 0
     if save_prefix is not None:
-        idx.save(save_prefix)
+        if index_format in ("npz", "both"):
+            idx.save(save_prefix)
+        if index_format in ("ref", "both"):
+            # reference .genome/.seed.N projection files — loadable by the
+            # reference binary (genome.c:179-273) and by -L here
+            from shrimp_tpu.io import refindex
+            refindex.save(idx, save_prefix)
         log(f"Saved genome projection under [{save_prefix}]")
         return 0
 
@@ -624,15 +752,23 @@ def main(argv: list[str] | None = None) -> int:
                         f"observed under PHRED+{cfg.qual_delta}.")
                     sys.exit(1)
         if rec.qual and not cfg.ignore_qvs and min_avg_qv >= 0:
-            avg = sum(ord(c) - cfg.qual_delta for c in rec.qual) / \
-                max(len(rec.qual), 1)
+            # integer sum / integer read_len (= strlen(seq): one longer
+            # than qual for CS primer-base reads) — gmapper.c:458-500
+            total = sum(ord(c) - cfg.qual_delta for c in rec.qual)
+            rl = max(len(rec.seq), 1)
+            avg = total // rl if total >= 0 else -((-total) // rl)
             if avg < min_avg_qv:
                 return False
         return True
 
     n_reads = 0
     n_matched = 0
-    isizes: list[int] = []
+    n_matched_conf = 0           # reads with an emitted hit MQV >= 10
+    n_pairs_matched = 0
+    n_pairs_matched_conf = 0
+    n_paired_matches = 0
+    n_unp_reads_matched = 0      # paired mode: half-paired fallback reads
+    n_unp_matches = 0
     un_recs: list = []
     al_recs: list = []
     t_map0 = time.time()
@@ -679,9 +815,23 @@ def main(argv: list[str] | None = None) -> int:
                 al_recs.extend(pr.re)
             elif not got and un_file:
                 un_recs.extend(pr.re)
-            if x_isize_hist:
+            if pr.paired_hits:
+                n_pairs_matched += 1
+                n_paired_matches += len(pr.paired_hits)
+                if any(fh1.mqv >= 10 or fh2.mqv >= 10
+                       for fh1, fh2, _ in pr.paired_hits):
+                    n_pairs_matched_conf += 1
+            elif pr.unpaired_hits:
+                if any(fh.mqv >= 10 for _, fh in pr.unpaired_hits):
+                    n_matched_conf += 1
+            if pr.unpaired_hits:
+                n_unp_matches += len(pr.unpaired_hits)
+                nips = {nip for nip, _ in pr.unpaired_hits}
+                n_unp_reads_matched += len(nips)
+            if insert_histogram is not None:
                 for _fh1, _fh2, isz in pr.paired_hits:
-                    isizes.append(isz)
+                    insert_histogram[telemetry.insert_histogram_bucket(
+                        isz, isize_min, insert_bucket_size)] += 1
             if shrimp_format:
                 for line in mapper.legacy_records_pair(pr, rflag):
                     out.write(line + "\n")
@@ -694,10 +844,12 @@ def main(argv: list[str] | None = None) -> int:
                     f"({n_reads / max(el, 1e-9):.0f} reads/s)")
     else:
         def emit_result(re_e, hits):
-            nonlocal n_reads, n_matched
+            nonlocal n_reads, n_matched, n_matched_conf
             n_reads += 1
             if hits:
                 n_matched += 1
+                if any(h.mqv >= 10 for h in hits):
+                    n_matched_conf += 1
                 if al_file:
                     al_recs.append(re_e)
             elif un_file:
@@ -750,24 +902,38 @@ def main(argv: list[str] | None = None) -> int:
         fastx.write_fastq(al_file, [r for r in al_recs]) if fastq else \
             fastx.write_fasta(al_file, al_recs)
 
-    if x_isize_hist and isizes:
-        arr = np.array(isizes)
-        log(f"insert-size histogram: n={len(arr)} mean={arr.mean():.1f} "
-            f"stddev={arr.std():.1f}")
-        hist, edges = np.histogram(arr, bins=20)
-        for h, e0, e1 in zip(hist, edges[:-1], edges[1:]):
-            log(f"  [{e0:7.0f},{e1:7.0f}) {h}")
-
-    log("")
-    log("Statistics:")
-    log(f"    Reads processed:   {n_reads}")
-    log(f"    Reads matched:     {n_matched}")
-    log(f"    Time (mapping):    {dt:.2f}s "
-        f"({n_reads / max(dt, 1e-9):.1f} reads/s, "
-        f"{n_reads / max(dt, 1e-9) * 3600:.0f} reads/hr)")
-    if d_stats and hasattr(mapper, "stats"):
-        for k, v in mapper.stats.items():
-            log(f"    {k}: {v}")
+    # closing statistics block (print_statistics, gmapper.c:695-1009)
+    ms = mapper.stats
+    genome_bytes = sum(
+        int(p.nbytes) for p in idx.positions) + sum(
+        int(o.nbytes) for o in idx.offsets) + int(idx.genome.nbytes)
+    telemetry.print_statistics(
+        log, mapper.tel,
+        colour_space=colour,
+        load_genome_secs=load_genome_secs,
+        mapping_secs=dt,
+        nreads=n_reads,
+        num_threads=threads,
+        dflag=d_stats,
+        pair_mode_none=(pair_mode == 0),
+        half_paired=cfg.half_paired,
+        total_reads_matched=(n_matched if pair_mode == 0
+                             else n_unp_reads_matched),
+        total_reads_matched_conf=n_matched_conf,
+        total_reads_dropped=ms.get("reads_dropped_max_aln", 0),
+        total_single_matches=(ms.get("total_matches", 0)
+                              if pair_mode == 0 else n_unp_matches),
+        total_dup_single_matches=ms.get("dup_matches_pruned", 0),
+        total_pairs_matched=n_pairs_matched,
+        total_pairs_matched_conf=n_pairs_matched_conf,
+        total_pairs_dropped=ms.get("pairs_dropped_max_aln", 0),
+        total_paired_matches=n_paired_matches,
+        total_dup_paired_matches=ms.get("dup_pairs_pruned", 0),
+        genomemap_bytes=genome_bytes,
+        xflag=x_isize_hist,
+        insert_histogram=insert_histogram,
+        min_insert_size=isize_min,
+        insert_histogram_bucket_size=insert_bucket_size)
     return 0
 
 

@@ -651,8 +651,9 @@ class Mapper:
             band_xmin, band_xmax = sw_full.compute_band(bx, by, al, bw,
                                                         w_len, R)
             _rows = np.arange(R)[None, :] < rlen[:, None]
-            _f2_cells = int(np.where(
-                _rows, band_xmax.astype(np.int64) - band_xmin + 1, 0).sum())
+            _f2_cells = np.where(
+                _rows, band_xmax.astype(np.int64) - band_xmin + 1,
+                0).sum(axis=1)
             band_xmin = _pad_rows(band_xmin, NB, 0)
             band_xmax = _pad_rows(band_xmax, NB, 0)
 
@@ -684,11 +685,15 @@ class Mapper:
                 local_alignment=not cfg.global_alignment,
                 band_xmin=band_xmin, band_xmax=band_xmax)
         if _f2_cells is None:
-            _f2_cells = int((w_len * rlen).sum())
-        self.tel.f2.add(N, _f2_cells)
+            _f2_cells = w_len * rlen
+        if not cfg.colour_space:
+            # LS pass2 re-runs the vector filter per hit before the scalar
+            # DP (hit_run_full_sw, mapping.c:400-415) — account it under f1
+            self.tel.f1.add(N, int((w_len * rlen).sum()))
         return {"stats_d": stats_d, "ops_d": ops_d, "qr4": qr4, "gb": gb,
                 "N": N, "gen_st": gen_st, "g_off": g_off, "w_len": w_len,
-                "cn": cn, "t_dispatch": time.time()}
+                "cn": cn, "f2_cells_rows": np.asarray(_f2_cells, np.int64),
+                "t_dispatch": time.time()}
 
     def _pass2_finish(self, entries, sel, opts, ctx):
         cfg = self.cfg
@@ -702,6 +707,18 @@ class Mapper:
         _t0 = time.time()
         stats = np.asarray(ctx["stats_d"])[:N]
         self.tel.f2.secs += time.time() - _t0
+        # scalar-SW invocations: in LS the reference only runs sw_full_ls
+        # when the per-hit vector re-score clears the pass2 threshold
+        # (mapping.c:406-415); that re-score equals the pass1 vector score
+        _smax = sel["score_max"].astype(np.int64)
+        if cfg.colour_space or self.cfg.gapless:
+            _qual = np.ones(N, bool)
+        else:
+            _thr = np.array([abs_or_pct(opts.pass2.threshold, s)
+                             for s in _smax])
+            _qual = sel["score_vector"].astype(np.int64) >= _thr
+        self.tel.f2.add(int(_qual.sum()),
+                        int(ctx["f2_cells_rows"][_qual].sum()))
         crossovers = stats[:, 10] if cfg.colour_space else None
         ops_all = np.asarray(ctx["ops_d"])[:N]
         score = stats[:, 0]

@@ -9,10 +9,9 @@ import os
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8").strip()
-# Subprocesses spawned by CLI tests inherit this and run on CPU too — the
-# kernels are integer-exact across backends, and CPU skips the TPU-tunnel
-# compile/link latency that dominated suite wall-clock.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: CLI-test subprocesses intentionally inherit the default platform
+# (TPU when present): the persistent compile cache makes warm TPU CLI runs
+# ~6s, while the wavefront kernels on CPU take minutes per invocation.
 
 import jax  # noqa: E402
 
