@@ -113,3 +113,40 @@ def load_index() -> ctypes.CDLL | None:
     lib.index_place.argtypes = [u32p, c_ll, llp, u32p]
     _IDX_LIB = lib
     return lib
+
+
+_CAND_LIB: ctypes.CDLL | None = None
+_CAND_TRIED = False
+
+
+def load_candidates() -> ctypes.CDLL | None:
+    """Host-side L3 hot loops (candidates_native.c)."""
+    global _CAND_LIB, _CAND_TRIED
+    if _CAND_LIB is not None or _CAND_TRIED:
+        return _CAND_LIB
+    _CAND_TRIED = True
+    src_c = os.path.join(_HERE, "candidates_native.c")
+    so = _compile(src_c, os.path.join(_HERE, "_candidates_native.so"))
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    c_ll = ctypes.c_longlong
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(c_ll)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u32p2 = ctypes.POINTER(ctypes.c_uint32)
+    lib.region_has2_filter.restype = c_ll
+    lib.region_has2_filter.argtypes = [
+        i32p, i64p, c_ll, ctypes.c_int, ctypes.c_int, c_ll, c_ll,
+        u16p, u8p]
+    lib.expand_postings.restype = c_ll
+    lib.expand_postings.argtypes = [i64p, i64p, c_ll, i64p, i64p]
+    lib.expand_postings_fused.restype = c_ll
+    lib.expand_postings_fused.argtypes = [
+        i64p, i64p, i32p, i32p, i64p, c_ll, u32p2, i64p, i32p, i32p]
+    _CAND_LIB = lib
+    return lib

@@ -1,0 +1,528 @@
+"""Exact on-device candidate generation (L3) — the production device path.
+
+A faithful port of the host pipeline (`pipeline/candidates_batch.py`:
+expand_postings -> region_has2_filter -> anchors_batch collapse ->
+hit_list_batch) into one fixed-shape jitted XLA program, bit-identical to
+the host path (tested in tests/test_candidates_device.py).  Where round 1's
+`ops/candidates_tpu.py` was a simplified demo (single contig, per-kmer
+caps, no regions), this implements the real semantics:
+
+  * CSR posting expansion in exact host order (seed-major, then (read,
+    kmer) row-major, then list order) via prefix-sum + searchsorted
+    segment ids over ONE concatenated positions plane,
+  * region-count pruning (read_get_region_counts semantics,
+    mapping.c:475-780) with the region-overlap previous-region extension,
+  * stable (rid, x) anchor ordering via two-pass int32 radix
+    (stable argsort by x, then by rid — no 64-bit keys on device),
+  * colinear collapse on (rid, diag-slot, diag, cn) runs with segment
+    aggregation (the diag-modulo cache, mapping.c:997-1013),
+  * the 2-anchor window pairing backward scan as a `lax.while_loop`
+    (mapping.c:1121-1184) — active while the k-shifted neighbour is the
+    same read and at/after the window floor, exactly the host's
+    [lo_idx, i-1] range,
+  * window emission with per-contig clamps and the optimistic score
+    threshold (mapping.c:1104-1184).
+
+Capacity contract: all intermediates are bounded by `a_cap` postings per
+batch; if a batch's expansion exceeds it the function reports overflow and
+the caller falls back to the host path for that batch (counted).  Device
+arithmetic is int32: requires genome shard < 2^31 bp, batch <= 2^12 reads,
+and (31 - region_bits) + 12 <= 32 for the packed region key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.int32(-(1 << 30))
+INVALID_X = jnp.int32(0x7FFFFFF0)
+
+
+class DeviceL3Index(NamedTuple):
+    """Device-resident CSR index with all seeds' positions concatenated."""
+
+    offsets: tuple          # per seed: int32 [4^w + 1] (values into concat)
+    positions: jax.Array    # int32 [total_all_seeds] global start positions
+    contig_offsets: jax.Array   # int32 [C]
+    contig_len: jax.Array       # int32 [C]
+    spans: tuple            # static
+    ones: tuple             # static tuple of tuples
+    seed_positions: tuple   # static: per seed, tuple of allowed read
+                            # offsets or None (positioned seeds)
+    use_hashing: bool
+    hash_max_span: int
+
+    @staticmethod
+    def from_host(idx):
+        pos_parts = []
+        offs = []
+        base = 0
+        for sn in range(len(idx.offsets)):
+            offs.append(jnp.asarray(
+                idx.offsets[sn].astype(np.int64) + base, np.int32))
+            pos_parts.append(idx.positions[sn].astype(np.int32))
+            base += len(idx.positions[sn])
+        positions = jnp.asarray(
+            np.concatenate(pos_parts) if pos_parts
+            else np.zeros(1, np.int32))
+        seeds = idx.seed_set.seeds
+        return DeviceL3Index(
+            offsets=tuple(offs),
+            positions=positions,
+            contig_offsets=jnp.asarray(idx.contig_offsets, np.int32),
+            contig_len=jnp.asarray(idx.contig_len, np.int32),
+            spans=tuple(int(s.span) for s in seeds),
+            ones=tuple(tuple(int(o) for o in s.ones_idx) for s in seeds),
+            seed_positions=tuple(
+                (None if s.positions is None
+                 else tuple(int(p) for p in s.positions)) for s in seeds),
+            use_hashing=bool(idx.seed_set.use_hashing),
+            hash_max_span=max((int(s.span) for s in seeds), default=0),
+        )
+
+
+def _jenkins32(a):
+    """The reference's 32-bit integer hash (gmapper.h:308-318), uint32
+    lanes — identical to index._jenkins32."""
+    a = a.astype(jnp.uint32)
+    a = (a + jnp.uint32(0x7ED55D16)) + (a << jnp.uint32(12))
+    a = (a ^ jnp.uint32(0xC761C23C)) ^ (a >> jnp.uint32(19))
+    a = (a + jnp.uint32(0x165667B1)) + (a << jnp.uint32(5))
+    a = (a + jnp.uint32(0xD3A2646C)) ^ (a << jnp.uint32(9))
+    a = (a + jnp.uint32(0xFD7046C5)) + (a << jnp.uint32(3))
+    a = (a ^ jnp.uint32(0xB55A4F09)) ^ (a >> jnp.uint32(16))
+    return a
+
+
+HASH_BITS = 24
+
+
+def _mapidx_seed(codes, rlen, minpos, span: int, ones: tuple,
+                 seed_pos, use_hashing: bool, max_span: int):
+    """uint32 [B, K] kmer ids (invalid = 0xFFFFFFFF); K = Rmax - span + 1.
+
+    Port of mapidx_batch (candidates_batch.py:65-115): window starts are
+    minpos-shifted, positioned seeds mask disallowed offsets."""
+    B, R = codes.shape
+    K = max(R - span + 1, 0)
+    if K == 0:
+        return jnp.full((B, 0), 0xFFFFFFFF, jnp.uint32)
+    base_starts = jnp.arange(K, dtype=jnp.int32)
+    starts = base_starts[None, :] + minpos[:, None]          # [B, K]
+    valid = (starts + span) <= rlen[:, None]
+    if seed_pos is not None:
+        allow = np.zeros(K, bool)
+        for p in seed_pos:
+            if p < K:
+                allow[p] = True
+        valid = valid & jnp.asarray(allow)[None, :]
+
+    c32 = codes.astype(jnp.uint32)
+    cols = jnp.arange(R, dtype=jnp.int32)
+    if not use_hashing:
+        acc = jnp.zeros((B, K), jnp.uint32)
+        for k, o in enumerate(ones):
+            idx = jnp.minimum(starts + o, R - 1)
+            col = jnp.take_along_axis(c32, idx.astype(jnp.int32), axis=1)
+            acc = acc | ((col & 3) << jnp.uint32(2 * k))
+        mi = acc
+    else:
+        # kmer_to_mapidx_hash: nibble window masked by seed ones, W words
+        # chained through the jenkins mix (index.hash_mapidx semantics)
+        W = (max_span + 7) // 8
+        key = jnp.zeros((B, K), jnp.uint32)
+        for w in range(W):
+            v = jnp.zeros((B, K), jnp.uint32)
+            for o in ones:
+                j = span - 1 - int(o)
+                if j // 8 != w:
+                    continue
+                idx = jnp.minimum(starts + int(o), R - 1)
+                col = jnp.take_along_axis(c32, idx.astype(jnp.int32),
+                                          axis=1)
+                v = v | ((col & jnp.uint32(0xF))
+                         << jnp.uint32(4 * (j % 8)))
+            key = _jenkins32(v ^ key)
+        mi = key & jnp.uint32((1 << HASH_BITS) - 1)
+    return jnp.where(valid, mi, jnp.uint32(0xFFFFFFFF))
+
+
+def _stable_sort_2key(primary, secondary, *arrays):
+    """Two-pass stable radix: sort by `primary` (minor key), then by
+    `secondary` (major key).  Equivalent to one stable sort on the 64-bit
+    key (secondary << 32 | primary) without needing int64 on device.
+    Returns (order, permuted arrays) in (secondary, primary) order."""
+    o1 = jnp.argsort(primary, stable=True)
+    sec1 = jnp.take(secondary, o1)
+    o2 = jnp.argsort(sec1, stable=True)
+    order = jnp.take(o1, o2)
+    return order, tuple(jnp.take(a, order) for a in arrays)
+
+
+def device_candidates(codes, rlen, minpos, wlen_cfg, thr_read,
+                      dev: DeviceL3Index, **kw):
+    """Host-facing wrapper: splits the DeviceL3Index into traced array
+    operands and static seed geometry for the jitted kernel."""
+    return _device_candidates(
+        codes, rlen, minpos, wlen_cfg, thr_read,
+        dev.offsets, dev.positions, dev.contig_offsets, dev.contig_len,
+        spans=dev.spans, ones=dev.ones, seed_positions=dev.seed_positions,
+        use_hashing=dev.use_hashing, hash_max_span=dev.hash_max_span,
+        **kw)
+
+
+class _Statics(NamedTuple):
+    spans: tuple
+    ones: tuple
+    seed_positions: tuple
+    use_hashing: bool
+    hash_max_span: int
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spans", "ones", "seed_positions", "use_hashing",
+                     "hash_max_span",
+                     "a_cap", "a2_cap", "h_cap", "n_regions",
+                     "use_region_counts",
+                     "region_bits", "region_overlap", "collapse",
+                     "gapless", "match_mode", "threshold", "match",
+                     "b_gap_open", "b_gap_extend", "list_cutoff",
+                     "num_contigs"))
+def _device_candidates(codes: jax.Array,       # int8 [B, R] one strand
+                      rlen: jax.Array,         # int32 [B]
+                      minpos: jax.Array,       # int32 [B] min_kmer_pos
+                      wlen_cfg: jax.Array,     # int32 [B] window lengths
+                      thr_read: jax.Array,     # int32 [B] host-truncated
+                                               # pct threshold per read
+                      dev_offsets: tuple,      # per seed int32 arrays
+                      dev_positions: jax.Array,
+                      contig_offsets: jax.Array,
+                      contig_len: jax.Array,
+                      *,
+                      spans: tuple,
+                      ones: tuple,
+                      seed_positions: tuple,
+                      use_hashing: bool,
+                      hash_max_span: int,
+                      a_cap: int,
+                      a2_cap: int,
+                      h_cap: int,
+                      n_regions: int = 1,
+                      use_region_counts: bool = False,
+                      region_bits: int = 11,
+                      region_overlap: int = 50,
+                      collapse: bool = True,
+                      gapless: bool = False,
+                      match_mode: int = 2,
+                      threshold: float = 55.0,
+                      match: int = 10,
+                      b_gap_open: int = -33,
+                      b_gap_extend: int = -3,
+                      list_cutoff: int = 0x7FFFFFFF,
+                      num_contigs: int = 1):
+    """Whole-batch exact candidate windows for one strand.
+
+    Returns dict of [h_cap] padded window columns + `emit` mask +
+    `n_emitted`, plus `overflow` (postings exceeded a_cap -> host path).
+    Row order within the valid prefix equals the host HitBatch order
+    BEFORE its final (rid, cn, g_off) lexsort (the caller applies that
+    on the compacted output).
+    """
+    B, R = codes.shape
+    n_seeds = len(spans)
+
+    # ---- per-seed posting lens in exact host row order ----
+    lens_parts, lo_parts, rid_parts, y_parts, ln_parts = [], [], [], [], []
+    for sn in range(n_seeds):
+        mi = _mapidx_seed(codes, rlen, minpos, spans[sn], ones[sn],
+                          seed_positions[sn], use_hashing,
+                          hash_max_span)
+        K = mi.shape[1]
+        if K == 0:
+            continue
+        valid = mi != jnp.uint32(0xFFFFFFFF)
+        mi_safe = jnp.where(valid, mi, 0).astype(jnp.int32)
+        lo = jnp.take(dev_offsets[sn], mi_safe)
+        hi = jnp.take(dev_offsets[sn], mi_safe + 1)
+        ln = jnp.where(valid, hi - lo, 0)
+        ln = jnp.where(ln > list_cutoff, 0, ln)
+        lens_parts.append(ln.reshape(-1))
+        lo_parts.append(lo.reshape(-1))
+        rid_parts.append(jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, K)).reshape(-1))
+        y_parts.append((jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
+            + minpos[:, None]).reshape(-1))
+        ln_parts.append(jnp.full(B * K, spans[sn], jnp.int32))
+
+    lens = jnp.concatenate(lens_parts)             # [L] posting-list sizes
+    lo_all = jnp.concatenate(lo_parts)
+    rid_row = jnp.concatenate(rid_parts)
+    y_row = jnp.concatenate(y_parts)
+    span_row = jnp.concatenate(ln_parts)
+    L = lens.shape[0]
+
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(lens).astype(jnp.int32)])  # [L+1]
+    total = starts[-1]
+    overflow = total > a_cap
+
+    # ---- CSR expansion into the flat anchor plane ----
+    slot = jnp.arange(a_cap, dtype=jnp.int32)
+    seg = jnp.searchsorted(starts, slot, side="right").astype(jnp.int32) - 1
+    seg = jnp.clip(seg, 0, L - 1)
+    within = slot - jnp.take(starts, seg)
+    src = jnp.take(lo_all, seg) + within
+    avalid = slot < total
+    src = jnp.clip(src, 0, dev_positions.shape[0] - 1)
+    ax = jnp.where(avalid, jnp.take(dev_positions, src), INVALID_X)
+    arid = jnp.where(avalid, jnp.take(rid_row, seg), jnp.int32(B))
+    ay = jnp.where(avalid, jnp.take(y_row, seg), 0)
+    aln = jnp.where(avalid, jnp.take(span_row, seg), 0)
+
+    # ---- region-count pruning (region_has2_filter) ----
+    # sort-free: a dense (read, region) int16 visit table built with one
+    # scatter-add — TPU 1-D sorts are the expensive op, HBM scatters are
+    # not.  Table size B * n_regions is bounded by the eligibility check
+    # in the caller.  Per-(read,region) visits < 2^15 structurally
+    # (<= (2^region_bits + overlap) * n_seeds).
+    if use_region_counts:
+        reg = ax >> region_bits
+        off_in = ax & ((1 << region_bits) - 1)
+        ext = avalid & (off_in < region_overlap) & (reg > 0)
+        flat = arid * n_regions + reg                       # int32 [a_cap]
+        table = jnp.zeros(B * n_regions + 1, jnp.int16)
+        DROP = B * n_regions
+        table = table.at[jnp.where(avalid, flat, DROP)].add(
+            jnp.int16(1), mode="drop")
+        table = table.at[jnp.where(ext, flat - 1, DROP)].add(
+            jnp.int16(1), mode="drop")
+        cnt_main = jnp.take(table, jnp.where(avalid, flat, DROP))
+        cnt_prev = jnp.take(table, jnp.where(ext, flat - 1, DROP))
+        keep = (cnt_main >= 2) | (ext & (cnt_prev >= 2))
+        avalid = avalid & keep
+        ax = jnp.where(avalid, ax, INVALID_X)
+        arid = jnp.where(avalid, arid, jnp.int32(B))
+
+    # ---- stable compaction of survivors into the (smaller) a2 plane:
+    # exclusive-scan positions + scatter — no sort ----
+    out_pos = jnp.cumsum(avalid.astype(jnp.int32)) - 1
+    n_sur = jnp.where(avalid.shape[0] > 0, out_pos[-1] + 1, 0)
+    overflow = overflow | (n_sur > a2_cap)
+    tgt = jnp.where(avalid, out_pos, a2_cap)
+
+    def compact(v, fill):
+        return jnp.full(a2_cap, fill, v.dtype).at[tgt].set(v, mode="drop")
+
+    ax = compact(ax, INVALID_X)
+    ay = compact(ay, jnp.int32(0))
+    aln = compact(aln, jnp.int32(0))
+    arid = compact(arid, jnp.int32(B))
+    avalid = compact(avalid, False)
+
+    # ---- stable (rid, x) sort; expansion order breaks ties like the
+    # host's stable combined-key argsort ----
+    _, (ax, ay, aln, arid, avalid) = _stable_sort_2key(
+        ax, arid, ax, ay, aln, arid, avalid)
+
+    # contig number per anchor (get_contig_num)
+    cn = (jnp.searchsorted(contig_offsets,
+                           jnp.clip(ax, 0, None), side="right")
+          .astype(jnp.int32) - 1)
+    cn = jnp.clip(cn, 0, num_contigs - 1)
+    awt = jnp.where(avalid, 1, 0).astype(jnp.int32)
+
+    # ---- colinear collapse on (rid, slot, diag, cn) runs ----
+    if collapse:
+        rl = jnp.take(jnp.maximum(rlen, 1), jnp.clip(arid, 0, B - 1))
+        dslot = jnp.where(avalid, (ax + rl - ay) % rl, 0)
+        diag = jnp.where(avalid, ax - ay, INVALID_X)
+        rmax1 = R + 1
+        gkey = jnp.where(avalid, arid * rmax1 + dslot,
+                         jnp.int32(B * rmax1 + R))
+        g_order = jnp.argsort(gkey, stable=True)
+        r2 = jnp.take(arid, g_order)
+        s2 = jnp.take(dslot, g_order)
+        d2 = jnp.take(diag, g_order)
+        c2 = jnp.take(cn, g_order)
+        x2 = jnp.take(ax, g_order)
+        l2 = jnp.take(aln, g_order)
+        v2 = jnp.take(avalid, g_order)
+        same = jnp.concatenate([
+            jnp.zeros(1, bool),
+            (r2[1:] == r2[:-1]) & (s2[1:] == s2[:-1])
+            & (d2[1:] == d2[:-1]) & (c2[1:] == c2[:-1])
+            & v2[1:] & v2[:-1]])
+        head = ~same
+        run_id = jnp.cumsum(head).astype(jnp.int32) - 1
+        ones = jnp.where(v2, 1, 0)
+        run_wt = jax.ops.segment_sum(ones, run_id, num_segments=a2_cap)
+        ends = jnp.where(v2, x2 + l2, NEG)
+        run_ext = jax.ops.segment_max(ends, run_id, num_segments=a2_cap)
+        wt2 = jnp.take(run_wt, run_id)
+        ex2 = jnp.take(run_ext, run_id)
+        keep2 = head & v2
+        ln_new2 = jnp.where(keep2, ex2 - x2, 0)
+        wt_new2 = jnp.where(keep2, wt2, 0)
+        # scatter back to (rid, x) order (inverse permutation by scatter,
+        # not a second argsort)
+        rows = jnp.arange(a2_cap, dtype=jnp.int32)
+        inv = jnp.zeros(a2_cap, jnp.int32).at[g_order].set(rows)
+        keep = jnp.take(keep2, inv)
+        aln = jnp.take(ln_new2, inv)
+        awt = jnp.take(wt_new2, inv)
+        avalid = avalid & keep
+        ax = jnp.where(avalid, ax, INVALID_X)
+        arid = jnp.where(avalid, arid, jnp.int32(B))
+
+        # compact the survivors (stable scan+scatter)
+        pos2 = jnp.cumsum(avalid.astype(jnp.int32)) - 1
+        tgt2 = jnp.where(avalid, pos2, a2_cap)
+
+        def compact2(v, fill):
+            return jnp.full(a2_cap, fill, v.dtype).at[tgt2].set(
+                v, mode="drop")
+
+        ax = compact2(ax, INVALID_X)
+        ay = compact2(ay, jnp.int32(0))
+        aln = compact2(aln, jnp.int32(0))
+        awt = compact2(awt, jnp.int32(0))
+        arid = compact2(arid, jnp.int32(B))
+        cn = compact2(cn, jnp.int32(0))
+        avalid = compact2(avalid, False)
+
+    # ---- window pairing (read_get_hit_list_per_strand) ----
+    rlen_a = jnp.take(rlen, jnp.clip(arid, 0, B - 1))
+    wcfg_a = jnp.take(wlen_cfg, jnp.clip(arid, 0, B - 1))
+    coff = jnp.take(contig_offsets, cn)
+    clen = jnp.take(contig_len, cn)
+    w_len = jnp.minimum(wcfg_a, clen)
+    gend = (ax - coff) + rlen_a - 1 - ay
+    gend = jnp.minimum(gend, clen - 1)
+    gstart = jnp.where(gend >= wcfg_a, gend - wcfg_a, 0)
+    floor_x = coff + gstart                     # global window floor
+
+    max_score = jnp.where(avalid, aln * match, NEG)
+    if not gapless and match_mode == 2:
+        max_score = jnp.where(awt == 1, jnp.int32(-1), max_score)
+        max_score = jnp.where(avalid, max_score, NEG)
+    n_matches = awt
+    max_idx = jnp.arange(a2_cap, dtype=jnp.int32)
+
+    if not gapless:
+        def cond(state):
+            k, ms, mi_, nm, any_active = state
+            return any_active
+
+        def body(state):
+            k, ms, mi_, nm, _ = state
+            idx = jnp.arange(a2_cap, dtype=jnp.int32)
+            j = idx - k
+            jc = jnp.clip(j, 0, a2_cap - 1)
+            same_rid = (j >= 0) & (jnp.take(arid, jc) == arid) & avalid
+            xj = jnp.take(ax, jc)
+            yj = jnp.take(ay, jc)
+            active = same_rid & (xj >= floor_x)
+            ok = active & (yj < ay)
+            dx = ax - xj
+            dy = ay - yj
+            del_in_read = dx - dy > 0
+            li = aln
+            short_len = jnp.where(del_in_read, dy, dx) + li
+            long_len = jnp.where(del_in_read, dx, dy) + li
+            tmp = short_len * match + jnp.where(
+                long_len > short_len,
+                b_gap_open + (long_len - short_len) * b_gap_extend, 0)
+            better = ok & (tmp > ms)
+            ms = jnp.where(better, tmp, ms)
+            mi_ = jnp.where(better, jc, mi_)
+            nm = jnp.where(better, awt + jnp.take(awt, jc), nm)
+            return (k + 1, ms, mi_, nm, jnp.any(active))
+
+        _, max_score, max_idx, n_matches, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), max_score, max_idx, n_matches,
+                         jnp.any(avalid)))
+
+    # ---- emission threshold ((int)abs_or_pct truncation, host-exact:
+    # pct thresholds are truncated on the host per read; rows whose window
+    # was clamped by a short contig would need a different base, so those
+    # batches fall back to the host path ----
+    base = jnp.minimum(rlen_a, w_len) * match
+    if threshold >= 0:
+        thr = jnp.take(thr_read, jnp.clip(arid, 0, B - 1))
+        overflow = overflow | jnp.any(avalid & (w_len != wcfg_a)
+                                      & (rlen_a > w_len))
+    else:
+        thr = jnp.full(a2_cap, jnp.int32(-int(-threshold)))
+    if gapless or match_mode == 1:
+        emit = avalid
+    else:
+        emit = avalid & (max_score >= thr)
+
+    # ---- window coordinates + anchor join (host formulas verbatim) ----
+    mi_ = max_idx
+    xj = jnp.take(ax, mi_)
+    yj = jnp.take(ay, mi_)
+    lj = jnp.take(aln, mi_)
+    x_len = (ax - xj) + aln
+    wl = wcfg_a
+    goff = jnp.where((wl - x_len) // 2 < xj - coff,
+                     (xj - coff) - (wl - x_len) // 2, 0)
+    goff = jnp.where(goff + w_len > clen, clen - w_len, goff)
+
+    has_pair = mi_ < jnp.arange(a2_cap, dtype=jnp.int32)
+    xi = ax - coff - goff
+    yi = ay
+    li = aln
+    xjw = xj - coff - goff
+    nw = jnp.minimum(xi + yi, jnp.where(has_pair, xjw + yj, xi + yi))
+    sw = jnp.minimum(xi - yi, jnp.where(has_pair, xjw - yj, xi - yi))
+    ne = jnp.maximum(xi - yi, jnp.where(has_pair, xjw - yj, xi - yi))
+    se = jnp.maximum(xi + yi + 2 * (li - 1),
+                     jnp.where(has_pair, xjw + yj + 2 * (lj - 1),
+                               xi + yi + 2 * (li - 1)))
+    nw = jnp.where((nw + sw) % 2 != 0, nw - 1, nw)
+    axj = (nw + sw) // 2
+    ayj = nw - axj
+    ne = jnp.where((ne - sw) % 2 != 0, ne + 1, ne)
+    aw = (ne - sw) // 2 + 1
+    se = jnp.where((se - nw) % 2 != 0, se + 1, se)
+    al = (se - nw) // 2 + 1
+    axj = jnp.where(has_pair, axj, xi)
+    ayj = jnp.where(has_pair, ayj, yi)
+    al = jnp.where(has_pair, al, li)
+    aw = jnp.where(has_pair, aw, 1)
+    nmat = jnp.where(has_pair, awt + jnp.take(awt, mi_), awt)
+
+    # compact emitted rows to the front (stable) and truncate to h_cap
+    n_emitted = jnp.sum(emit).astype(jnp.int32)
+    overflow = overflow | (n_emitted > h_cap)
+    epos = jnp.cumsum(emit.astype(jnp.int32)) - 1
+    etgt = jnp.where(emit, epos, h_cap)
+
+    def take(v):
+        return jnp.zeros(h_cap, v.dtype).at[etgt].set(v, mode="drop")
+    return {
+        "overflow": overflow,
+        "n_total": total,
+        "n_survivors": n_sur,
+        "n": n_emitted,
+        "rid": take(arid),
+        "cn": take(cn),
+        "g_off": take(goff),
+        "w_len": take(w_len),
+        "score_window_gen": take(max_score),
+        "matches": take(nmat),
+        "score_max": take(base),
+        "anchor_x": take(axj),
+        "anchor_y": take(ayj),
+        "anchor_length": take(al),
+        "anchor_width": take(aw),
+        "emit": take(emit),
+    }

@@ -117,6 +117,7 @@ def mapidx_batch(entries: list[ReadEntry], idx: GenomeIndex,
 
 REGION_BITS = 11        # DEF_REGION_BITS
 REGION_OVERLAP = 50     # DEF_REGION_OVERLAP
+_REGION_TABLE = None    # persistent native visit-table workspace
 
 
 def region_has2_filter(rid: np.ndarray, x: np.ndarray,
@@ -130,7 +131,36 @@ def region_has2_filter(rid: np.ndarray, x: np.ndarray,
     region_overlap of the region start.  Anchors whose region (or, near the
     start, the previous region) was visited < 2 times by this read-strand are
     discarded.  Returns a keep mask.
+
+    Uses the native C visit-table when available (O(n), the reference's
+    region_map structure) instead of the sort-based NumPy fallback.
     """
+    if len(x):
+        from shrimp_tpu import native
+        lib = native.load_candidates()
+        if lib is not None:
+            import ctypes
+            n_reads = int(rid.max()) + 1
+            n_regions = (int(x.max()) >> region_bits) + 1
+            tbl_sz = n_reads * n_regions
+            if tbl_sz <= (1 << 31):
+                global _REGION_TABLE
+                if _REGION_TABLE is None or len(_REGION_TABLE) < tbl_sz:
+                    _REGION_TABLE = np.zeros(
+                        max(tbl_sz, 1 << 20), np.uint16)
+                rid32 = np.ascontiguousarray(rid, np.int32)
+                x64 = np.ascontiguousarray(x, np.int64)
+                keep = np.empty(len(x), np.uint8)
+                rc = lib.region_has2_filter(
+                    rid32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    x64.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                    len(x), region_bits, region_overlap,
+                    n_regions, n_reads,
+                    _REGION_TABLE.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint16)),
+                    keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                if rc == 0:
+                    return keep.astype(bool)
     reg = x >> region_bits
     off = x & ((1 << region_bits) - 1)
     key = (rid.astype(np.int64) << 24) | reg   # region < 2^24 => genome < 32Gbp
@@ -269,20 +299,50 @@ def expand_postings(entries: list[ReadEntry], idx: GenomeIndex, st: int,
             continue
         flat_lens = lens.ravel()
         nz = flat_lens > 0
-        fl = flat_lens[nz]
-        base = lo.ravel()[nz]
-        # CSR expansion
-        starts_out = np.zeros(len(fl) + 1, np.int64)
-        np.cumsum(fl, out=starts_out[1:])
-        within = np.arange(total, dtype=np.int64) - np.repeat(starts_out[:-1], fl)
-        x_parts.append(pos[np.repeat(base, fl) + within].astype(np.int64))
-        rows = np.repeat(
-            np.broadcast_to(np.arange(B)[:, None], lens.shape).ravel()[nz], fl)
-        rid_parts.append(rows.astype(np.int32))
-        kcols = np.broadcast_to(
-            np.arange(lens.shape[1])[None, :], lens.shape).ravel()[nz]
+        fl = flat_lens[nz].astype(np.int64)
+        base = lo.ravel()[nz].astype(np.int64)
         minpos = np.array([e.min_kmer_pos for e in entries], np.int64)
-        y_parts.append((np.repeat(kcols, fl) + minpos[rows]).astype(np.int32))
+        all_rows = np.broadcast_to(np.arange(B)[:, None],
+                                   lens.shape).ravel()[nz]
+        all_kcols = np.broadcast_to(
+            np.arange(lens.shape[1])[None, :], lens.shape).ravel()[nz]
+        from shrimp_tpu import native
+        lib = native.load_candidates()
+        if lib is not None and pos.dtype == np.uint32:
+            import ctypes
+            i64p = ctypes.POINTER(ctypes.c_longlong)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            xs = np.empty(total, np.int64)
+            rids = np.empty(total, np.int32)
+            ys = np.empty(total, np.int32)
+            fl_c = np.ascontiguousarray(fl)
+            base_c = np.ascontiguousarray(base)
+            rows_c = np.ascontiguousarray(all_rows, np.int32)
+            kcols_c = np.ascontiguousarray(all_kcols, np.int32)
+            minpos_c = np.ascontiguousarray(minpos, np.int64)
+            pos_c = np.ascontiguousarray(pos, np.uint32)
+            lib.expand_postings_fused(
+                fl_c.ctypes.data_as(i64p), base_c.ctypes.data_as(i64p),
+                rows_c.ctypes.data_as(i32p), kcols_c.ctypes.data_as(i32p),
+                minpos_c.ctypes.data_as(i64p), len(fl_c),
+                pos_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                xs.ctypes.data_as(i64p), rids.ctypes.data_as(i32p),
+                ys.ctypes.data_as(i32p))
+            x_parts.append(xs)
+            rid_parts.append(rids)
+            y_parts.append(ys)
+        else:
+            # NumPy CSR expansion fallback
+            starts_out = np.zeros(len(fl) + 1, np.int64)
+            np.cumsum(fl, out=starts_out[1:])
+            within = (np.arange(total, dtype=np.int64)
+                      - np.repeat(starts_out[:-1], fl))
+            x_parts.append(pos[np.repeat(base, fl) + within]
+                           .astype(np.int64))
+            rows = np.repeat(all_rows, fl)
+            rid_parts.append(rows.astype(np.int32))
+            y_parts.append((np.repeat(all_kcols, fl)
+                            + minpos[rows]).astype(np.int32))
         ln_parts.append(np.full(total, seed.span, np.int32))
 
     if not x_parts:

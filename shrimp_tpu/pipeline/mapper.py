@@ -142,8 +142,13 @@ class Mapper:
         self.stats = {"reads": 0, "reads_matched": 0, "reads_dropped": 0,
                       "total_matches": 0, "pass1_windows": 0,
                       "pass2_windows": 0, "dup_matches_pruned": 0,
-                      "reads_dropped_max_aln": 0, "reads_matched_conf": 0}
+                      "reads_dropped_max_aln": 0, "reads_matched_conf": 0,
+                      "device_l3_fallbacks": 0}
         self.tel = telemetry.Telemetry()
+        self._dev_l3 = None
+        self._dev_l3_a_cap = self.DEVICE_L3_A_CAP
+        self._dev_l3_a2_cap = self.DEVICE_L3_A2_CAP
+        self._l3_choice = None          # auto-tune result ("device"/"host")
         # the pipelined streams run two batches on worker threads; counter
         # read-modify-writes must not interleave (#pragma omp atomic
         # analogue, mapping.c:1732-1750)
@@ -355,26 +360,190 @@ class Mapper:
             yield from stage2(stage1(in_p1))
 
     # ------------------------------------------------------------------
-    def _candidates(self, entries, opts) -> cb.HitBatch:
+    # device-L3 plane capacities (expansion / post-region-filter /
+    # emitted); grown in powers of two on overflow up to the max, then
+    # host fallback
+    DEVICE_L3_A_CAP = 1 << 21
+    DEVICE_L3_A2_CAP = 1 << 17
+    DEVICE_L3_A_CAP_MAX = 1 << 24
+    DEVICE_L3_H_CAP = 1 << 18
+    DEVICE_L3_TABLE_MAX = 1 << 28      # (reads x regions) int16 entries
+
+    def _l3_autotune(self, entries, opts) -> bool:
+        """Pick the faster L3 path by timing both once (compile excluded):
+        the device kernel wins on co-located chips; the native host path
+        wins through high-latency device tunnels."""
+        if self._l3_choice is not None:
+            return self._l3_choice == "device"
+        if not self._device_l3_ok(entries, opts):
+            return False                  # stay undecided until eligible
+        # warm (compile) then time the device path
+        if self._candidates_device(entries, opts) is None:
+            self._l3_choice = "host"
+            return False
+        t0 = time.time()
+        self._candidates_device(entries, opts)
+        t_dev = time.time() - t0
+        saved, self.cfg.device_candidates = self.cfg.device_candidates, False
+        t0 = time.time()
+        try:
+            sub = entries[: max(len(entries) // 4, 1)]
+            for st in (0, 1):
+                if not (self.cfg.strand_mask >> st) & 1:
+                    continue
+                ab = cb.anchors_batch(
+                    sub, self.index, st,
+                    collapse=opts.anchor_list.collapse,
+                    list_cutoff=self.index.list_cutoff,
+                    use_region_counts=opts.anchor_list.use_region_counts)
+                cb.hit_list_batch(sub, self.index, ab, opts.hit_list,
+                                  self.cfg)
+        finally:
+            self.cfg.device_candidates = saved
+        t_host = (time.time() - t0) * (len(entries) / max(len(sub), 1))
+        self._l3_choice = "device" if t_dev < t_host else "host"
+        return self._l3_choice == "device"
+
+    def _device_l3_ok(self, entries, opts) -> bool:
+        """Static eligibility for the on-device candidate path (int32
+        capacity contract, ops/candidates_device.py)."""
+        if not self.cfg.device_candidates:
+            return False
+        if self.index.total_len >= (1 << 31):
+            return False
+        if len(entries) > (1 << 12):
+            return False
+        # packed uint32 region key needs 12 rid bits + (31-region_bits)
+        # region bits (candidates_device capacity contract)
+        if opts.anchor_list.use_region_counts and \
+                (32 - cb.REGION_BITS) < 12:
+            return False
+        if opts.hit_list.match_mode == 3:          # paired heavy-mp path
+            return False
+        if opts.anchor_list.use_region_counts:
+            n_regions = (self.index.total_len >> cb.REGION_BITS) + 1
+            if _bucket_rows(len(entries), lo=256) * n_regions \
+                    > self.DEVICE_L3_TABLE_MAX:
+                return False
+        return True
+
+    def _candidates_device(self, entries, opts):
+        """The production on-device L3: bit-exact vs the host path, with
+        whole-batch host fallback on capacity overflow (counted)."""
+        from shrimp_tpu.ops import candidates_device as cdv
+        if self._dev_l3 is None:
+            self._dev_l3 = cdv.DeviceL3Index.from_host(self.index)
+        B = len(entries)
+        NB = _bucket_rows(B, lo=256)
+        R = _round_up(max(e.read_len for e in entries), 16)
+        codes = {0: np.zeros((NB, R), np.int8), 1: np.zeros((NB, R), np.int8)}
+        rlen = np.zeros(NB, np.int32)
+        minpos = np.zeros(NB, np.int32)
+        wlen = np.zeros(NB, np.int32)
+        thr = np.zeros(NB, np.int32)
+        p = self.cfg.params
+        t = opts.hit_list.threshold
+        for b, e in enumerate(entries):
+            codes[0][b, :e.read_len] = e.read[0]
+            codes[1][b, :e.read_len] = e.read[1]
+            rlen[b] = e.read_len
+            minpos[b] = e.min_kmer_pos
+            wlen[b] = e.window_len
+            if t >= 0:
+                thr[b] = int(min(e.read_len, e.window_len) * p.match
+                             * (t / 100.0))
+        lc = min(int(self.index.list_cutoff), 0x7FFFFFFF)
+        n_regions = (self.index.total_len >> cb.REGION_BITS) + 1
+
         parts = []
         for st in (0, 1):
             if not (self.cfg.strand_mask >> st) & 1:
                 continue
-            region_filter = None
-            if opts.anchor_list.use_region_counts:
-                def region_filter(rid, x):
-                    with self.tel.stage("region_counts"):
-                        return cb.region_has2_filter(rid, x)
-            with self.tel.stage("anchor_list"):
-                ab = cb.anchors_batch(
-                    entries, self.index, st,
-                    collapse=opts.anchor_list.collapse,
-                    list_cutoff=self.index.list_cutoff,
+            while True:
+                a_cap = self._dev_l3_a_cap
+                a2_cap = self._dev_l3_a2_cap
+                out = cdv.device_candidates(
+                    codes[st], rlen, minpos, wlen, thr, self._dev_l3,
+                    a_cap=a_cap, a2_cap=a2_cap,
+                    h_cap=self.DEVICE_L3_H_CAP,
+                    n_regions=n_regions,
                     use_region_counts=opts.anchor_list.use_region_counts,
-                    region_filter=region_filter)
-            with self.tel.stage("hit_list"):
-                parts.append(cb.hit_list_batch(entries, self.index, ab,
-                                               opts.hit_list, self.cfg))
+                    region_bits=cb.REGION_BITS,
+                    region_overlap=cb.REGION_OVERLAP,
+                    collapse=opts.anchor_list.collapse,
+                    gapless=opts.hit_list.gapless,
+                    match_mode=opts.hit_list.match_mode,
+                    threshold=float(t),
+                    match=p.match, b_gap_open=p.b_gap_open,
+                    b_gap_extend=p.b_gap_extend,
+                    list_cutoff=lc,
+                    num_contigs=self.index.num_contigs)
+                if not bool(out["overflow"]):
+                    break
+                grew = False
+                if int(out["n_total"]) > a_cap and \
+                        a_cap < self.DEVICE_L3_A_CAP_MAX:
+                    self._dev_l3_a_cap = a_cap << 1
+                    grew = True
+                if int(out["n_survivors"]) > a2_cap and \
+                        a2_cap < self.DEVICE_L3_A_CAP_MAX:
+                    self._dev_l3_a2_cap = a2_cap << 1
+                    grew = True
+                if not grew:
+                    self._bump(device_l3_fallbacks=1)
+                    return None                    # host fallback
+            n = int(out["n"])
+            cols = {f: np.asarray(out[f])[:n]
+                    for f in ("rid", "cn", "g_off", "w_len",
+                              "score_window_gen", "matches", "score_max",
+                              "anchor_x", "anchor_y", "anchor_length",
+                              "anchor_width")}
+            order = np.lexsort((cols["g_off"], cols["cn"], cols["rid"]))
+            parts.append(cb.HitBatch(
+                rid=cols["rid"][order].astype(np.int32),
+                st=np.full(n, st, np.int8),
+                cn=cols["cn"][order].astype(np.int32),
+                g_off=cols["g_off"][order].astype(np.int64),
+                w_len=cols["w_len"][order].astype(np.int32),
+                score_window_gen=cols["score_window_gen"][order]
+                .astype(np.int32),
+                matches=cols["matches"][order].astype(np.int32),
+                score_max=cols["score_max"][order].astype(np.int32),
+                anchor_x=cols["anchor_x"][order].astype(np.int64),
+                anchor_y=cols["anchor_y"][order].astype(np.int64),
+                anchor_length=cols["anchor_length"][order].astype(np.int32),
+                anchor_width=cols["anchor_width"][order].astype(np.int32)))
+        return parts
+
+    def _candidates(self, entries, opts) -> cb.HitBatch:
+        parts = None
+        use_device = self.cfg.device_candidates
+        if use_device == "auto":
+            use_device = self._l3_autotune(entries, opts)
+        if use_device and self._device_l3_ok(entries, opts):
+            with self.tel.stage("anchor_list"):
+                parts = self._candidates_device(entries, opts)
+        if parts is None:
+            parts = []
+            for st in (0, 1):
+                if not (self.cfg.strand_mask >> st) & 1:
+                    continue
+                region_filter = None
+                if opts.anchor_list.use_region_counts:
+                    def region_filter(rid, x):
+                        with self.tel.stage("region_counts"):
+                            return cb.region_has2_filter(rid, x)
+                with self.tel.stage("anchor_list"):
+                    ab = cb.anchors_batch(
+                        entries, self.index, st,
+                        collapse=opts.anchor_list.collapse,
+                        list_cutoff=self.index.list_cutoff,
+                        use_region_counts=opts.anchor_list
+                        .use_region_counts,
+                        region_filter=region_filter)
+                with self.tel.stage("hit_list"):
+                    parts.append(cb.hit_list_batch(entries, self.index, ab,
+                                                   opts.hit_list, self.cfg))
         merged = cb.HitBatch(**{
             f: np.concatenate([getattr(h, f) for h in parts])
             for f in ("rid", "st", "cn", "g_off", "w_len",

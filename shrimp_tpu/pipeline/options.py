@@ -115,6 +115,10 @@ class MapperConfig:
     sw_vect_threshold: float | None = None    # default: 47 (cs) / full (ls)
     sw_full_threshold: float = 50.0           # DEF_SW_FULL_THRESHOLD
     strand_mask: int = 3              # bit 0: + strand, bit 1: - strand
+    # on-device L3: True / False / "auto" (time both paths on the first
+    # eligible batch and keep the winner — on co-located TPUs the device
+    # path wins, through a high-latency tunnel the native host path does)
+    device_candidates: object = "auto"
     bfast: bool = False               # Bflag: bfast-style CS base quals
     all_contigs: bool = False         # suppresses Z-field emission
     sam_read_group_name: str | None = None   # --read-group id (RG:Z tag)
