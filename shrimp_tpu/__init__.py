@@ -39,6 +39,12 @@ def _setup_compilation_cache() -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        # Some TPU environments force their platform back via a baked
+        # sitecustomize; re-assert an explicitly user-requested platform
+        # (JAX_PLATFORMS=cpu ...) so tests and tools can pin the backend.
+        plat = os.environ.get("JAX_PLATFORMS", "")
+        if plat and "axon" not in plat and "tpu" not in plat:
+            jax.config.update("jax_platforms", plat)
     except Exception:
         pass          # cache is an optimization; never block startup on it
 

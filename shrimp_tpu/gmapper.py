@@ -45,7 +45,7 @@ _LONG = [
     "no-improper-mappings", "qv-offset=", "sam-header-hd=", "sam-header-sq=",
     "sam-header-rg=", "sam-header-pg=", "no-autodetect-input", "local",
     "no-qv-check", "ignore-qvs", "enable-seed-qual-filter",
-    "index-format=",
+    "index-format=", "genome-shards=", "devices=",
     # colour-space extras
     "crossover=", "vec-threshold=", "bfast",
     # letter-space extras
@@ -146,6 +146,8 @@ def main(argv: list[str] | None = None) -> int:
     trim_illumina = False
     no_hash_filter_calls = False
     index_format = "npz"
+    genome_shards = 1
+    n_devices = 0
 
     def _region_bits():
         from shrimp_tpu.pipeline import candidates_batch as _cb
@@ -412,6 +414,13 @@ def main(argv: list[str] | None = None) -> int:
             sam_header_sections[o.rsplit("-", 1)[1]] = a
         elif o == "--sam-r2":
             sam_r2 = True
+        elif o == "--genome-shards":
+            genome_shards = int(a)
+            if genome_shards < 1:
+                log("error: --genome-shards must be >= 1")
+                return 1
+        elif o == "--devices":
+            n_devices = int(a)
         elif o == "--index-format":
             if a not in ("npz", "ref", "both"):
                 log(f"error: invalid index format {a!r} (npz|ref|both)")
@@ -633,11 +642,34 @@ def main(argv: list[str] | None = None) -> int:
             for c in fastx.iter_contigs(gf):
                 log(f"- Processing contig {c.name}")
                 contigs.append(c)
-        idx = gindex.build_index(contigs, seed_set, colour_space=colour)
-        if cfg.list_cutoff != 0xFFFFFFFF:
-            idx.trim(cfg.list_cutoff)
+        if genome_shards > 1:
+            from shrimp_tpu.parallel.mesh import split_index_shards
+            shard_indexes = split_index_shards(
+                contigs, genome_shards, seed_set, colour_space=colour)
+            if len(shard_indexes) < genome_shards:
+                log(f"note: only {len(shard_indexes)} contig groups; "
+                    f"using {len(shard_indexes)} genome shards")
+                genome_shards = len(shard_indexes)
+            if cfg.list_cutoff != 0xFFFFFFFF:
+                for si in shard_indexes:
+                    si.trim(cfg.list_cutoff)
+            idx = shard_indexes[0]      # header/QC fallback handle
+        else:
+            idx = gindex.build_index(contigs, seed_set,
+                                     colour_space=colour)
+            if cfg.list_cutoff != 0xFFFFFFFF:
+                idx.trim(cfg.list_cutoff)
         log(f"Loaded Genome ({time.time() - t0:.1f}s)")
     load_genome_secs = time.time() - t0
+    if genome_shards > 1:
+        if pair_mode != 0:
+            log("error: --genome-shards currently supports unpaired "
+                "mapping (use splitreads+mergesam for paired shard runs)")
+            return 1
+        if load_prefix is not None or load_mmap_prefix is not None or \
+            save_prefix is not None or save_mmap_prefix is not None:
+            log("error: --genome-shards maps directly from genome FASTA")
+            return 1
 
     if y_proj_hist:
         for sn in range(len(idx.offsets)):
@@ -696,8 +728,14 @@ def main(argv: list[str] | None = None) -> int:
                 for ln_ in default_lines:
                     out.write(ln_ + "\n")
         section("hd", ["@HD\tVN:1.0\tSO:unsorted"])
-        section("sq", [f"@SQ\tSN:{nm}\tLN:{int(ln)}"
-                       for nm, ln in zip(idx.contig_names, idx.contig_len)])
+        if genome_shards > 1:
+            sq_lines = [f"@SQ\tSN:{nm}\tLN:{int(ln)}"
+                        for si in shard_indexes
+                        for nm, ln in zip(si.contig_names, si.contig_len)]
+        else:
+            sq_lines = [f"@SQ\tSN:{nm}\tLN:{int(ln)}"
+                        for nm, ln in zip(idx.contig_names, idx.contig_len)]
+        section("sq", sq_lines)
         section("rg", ([f"@RG\tID:{read_group[0]}\tSM:{read_group[-1]}"]
                        if read_group else []))
         section("pg", [f"@PG\tID:gmapper\tVN:{VERSION}\tCL:{cmdline}"])
@@ -714,6 +752,29 @@ def main(argv: list[str] | None = None) -> int:
             pcfg.improper_mappings = not no_improper
         mapper = PairedMapper(idx, cfg, pcfg)
         paired_popts = [mapper._popts_from(rpo) for rpo in paired_option_sets]
+    elif genome_shards > 1:
+        from shrimp_tpu.parallel.mesh import MeshMapper
+        from shrimp_tpu.parallel.shard import make_mesh
+        import jax as _jax
+        avail = len(_jax.devices())
+        nd = n_devices or avail
+        nd = min(nd, avail)
+        gs = min(genome_shards, nd) if nd >= genome_shards else genome_shards
+        try:
+            mesh = make_mesh(max(nd - nd % genome_shards, genome_shards)
+                             if nd >= genome_shards else genome_shards,
+                             genome_shards=genome_shards)
+        except ValueError:
+            mesh = None
+        if mesh is None:
+            # fewer devices than shards: replicate devices round-robin
+            devs = (_jax.devices() * genome_shards)[:genome_shards]
+            import numpy as _np
+            from jax.sharding import Mesh as _Mesh
+            mesh = _Mesh(_np.array(devs).reshape(1, genome_shards),
+                         ("reads", "genome"))
+        mapper = MeshMapper(shard_indexes, cfg, mesh=mesh)
+        paired_popts = []
     else:
         mapper = Mapper(idx, cfg)
         paired_popts = []
@@ -866,7 +927,37 @@ def main(argv: list[str] | None = None) -> int:
                 log(f"- Processed {n_reads} reads "
                     f"({n_reads / max(el, 1e-9):.0f} reads/s)")
 
-        if len(unpaired_option_sets) > 1:
+        if genome_shards > 1:
+            # mesh mode: batch through MeshMapper, emit merged shard hits
+            while True:
+                batch = []
+                for rec in stream:
+                    batch.append(trim_rec(rec))
+                    if len(batch) >= batch_size:
+                        break
+                if not batch:
+                    break
+                triples = [(r.name, r.seq, r.qual)
+                           for r in batch if rec_ok(r)]
+                for re_e, shard_hits in mapper.map_batch(
+                        triples, options=unpaired_option_sets or None):
+                    nonlocal_unused = None
+                    n_reads += 1
+                    if shard_hits:
+                        n_matched += 1
+                        if any(h.mqv >= 10 for _, h in shard_hits):
+                            n_matched_conf += 1
+                        if al_file:
+                            al_recs.append(re_e)
+                    elif un_file:
+                        un_recs.append(re_e)
+                    for rec2 in mapper.sam_records(re_e, shard_hits):
+                        out.write(rec2.line() + "\n")
+                    if progress and n_reads % progress == 0:
+                        el = time.time() - t_map0
+                        log(f"- Processed {n_reads} reads "
+                            f"({n_reads / max(el, 1e-9):.0f} reads/s)")
+        elif len(unpaired_option_sets) > 1:
             # multi-round option sets go through map_batch's round loop
             while True:
                 batch = []

@@ -1,0 +1,241 @@
+"""Production multi-device mapping — the genome-shard × read-shard mesh.
+
+This is the on-mesh form of the reference's cluster workflow
+(`SPLITTING_AND_MERGING:57-148`): the genome index is sharded across the
+mesh's GENOME axis (split-db), reads across the READS axis (splitreads),
+and the per-read mapping-quality statistics are recombined exactly with
+collectives instead of the reference's SAM-file side channel
+(`mergesam/sam_reader.c:127-270`; z1 := Σ_j z1_j is a psum).
+
+Unlike round 1's demo (`shard.py:sharded_end_to_end_step`, argmax-only),
+each shard here runs the REAL production funnel — the same `Mapper` stages
+as a single-device run (device-L3 candidates, pass-1 vector/gapless filter
+with overlap suppression and extheap top-k, pass-2 full SW with fused
+traceback, posterior/dedup/strata/max-alignments) — staged so one shard's
+host glue overlaps other shards' device DP, with each shard's kernels
+placed on its own mesh device.  Output equals the single-device mapping
+byte-for-byte (tests/test_mesh_mapper.py), which is the reference's
+shard-invariance guarantee.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from shrimp_tpu import mapq
+from shrimp_tpu.parallel.shard import GENOME_AXIS, READS_AXIS, make_mesh
+from shrimp_tpu.pipeline.mapper import Mapper
+from shrimp_tpu.pipeline.options import MapperConfig
+
+
+def build_z1_psum(mesh: Mesh):
+    """The collective z-recombination step: per-shard per-read posterior
+    sums in, exact global z1 out (MAPPING_QUALITIES Part 1c: z1 := Σ_j
+    z1_j — associative, so one psum over the genome axis)."""
+    from jax import shard_map
+
+    def per_device(z1_local):                    # [1, B] this shard's sums
+        return jax.lax.psum(z1_local, GENOME_AXIS)
+
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=P(GENOME_AXIS, None),
+                   out_specs=P(GENOME_AXIS, None),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+class MeshMapper:
+    """Maps reads against S genome-index shards on a device mesh."""
+
+    def __init__(self, indexes, cfg: MapperConfig | None = None,
+                 mesh: Mesh | None = None):
+        self.cfg = cfg or MapperConfig()
+        if self.cfg.device_candidates == "auto":
+            # per-shard L3 kernels would each pay a full XLA compile; the
+            # native host L3 feeds all shards' device DP without it
+            self.cfg.device_candidates = False
+        self.mappers = [Mapper(idx, self.cfg) for idx in indexes]
+        self.S = len(indexes)
+        if mesh is None:
+            n = max(len(jax.devices()) // self.S, 1) * self.S
+            mesh = make_mesh(min(n, len(jax.devices())),
+                             genome_shards=self.S)
+        assert mesh.shape[GENOME_AXIS] == self.S, \
+            (mesh.shape, self.S)
+        self.mesh = mesh
+        # the z collective runs on a genome-only sub-mesh (first row of
+        # the full mesh): the psum needs no reads axis, and replicated
+        # host inputs over unused mesh axes trip jax's batched_device_put
+        self._zmesh = Mesh(np.asarray(mesh.devices)[0], (GENOME_AXIS,))
+        self._z1_psum = build_z1_psum(self._zmesh)
+        # each genome shard's kernels run on its own column of devices
+        self._shard_devices = [
+            mesh.devices[0][s] for s in range(self.S)]
+
+    # ------------------------------------------------------------------
+    def map_batch(self, reads, options=None):
+        """Map one read batch against every shard and merge exactly.
+
+        Returns [(entry, [(shard, FinalHit), ...])] in read order; hit
+        lists carry cross-shard-exact MQVs and z fields.
+        """
+        cfg = self.cfg
+        opts = (options or cfg.unpaired_options())[0]
+        from shrimp_tpu.pipeline import candidates as cand
+
+        m0 = self.mappers[0]
+        entries = cand.prepare_reads(reads, cfg, m0.min_seed_span)
+        ok = np.array([e.read_len <= cfg.longest_read_len
+                       and e.max_n_kmers > 0 for e in entries])
+        live = [e for e, o in zip(entries, ok) if o]
+        live_map = np.flatnonzero(ok)
+
+        # --- staged per-shard funnels: shard s+1's host glue overlaps
+        # shard s's in-flight device work ---
+        ctxs = [None] * self.S
+        for s, m in enumerate(self.mappers):
+            with jax.default_device(self._shard_devices[s]):
+                hb = m._candidates(live, opts) if live else None
+                p1 = (m._pass1_dispatch(live, hb, opts)
+                      if hb is not None and hb.n else None)
+            ctxs[s] = {"hb": hb, "p1": p1}
+        for s, m in enumerate(self.mappers):
+            c = ctxs[s]
+            with jax.default_device(self._shard_devices[s]):
+                sel = (m._pass1_finish(live, c["hb"], opts, c["p1"])
+                       if c["p1"] is not None else None)
+                c["sel"] = sel
+                c["p2"] = (m._pass2_dispatch(live, sel)
+                           if sel is not None else None)
+        per_shard: list[dict] = []
+        for s, m in enumerate(self.mappers):
+            c = ctxs[s]
+            with jax.default_device(self._shard_devices[s]):
+                per_shard.append(
+                    m._pass2_finish(live, c["sel"], opts, c["p2"])
+                    if c["p2"] is not None else {})
+
+        # --- exact z recombination on the mesh (psum over genome axis) ---
+        B = len(live)
+        z1_local = np.zeros((self.S, B), np.float64)
+        for s in range(self.S):
+            for li, hits in per_shard[s].items():
+                z1_local[s, li] = sum(h.posterior for h in hits)
+        if B and self.S > 1:
+            # float32 collective for the mesh path would quantize MQVs;
+            # psum the float64 halves separately to keep full precision
+            hi = z1_local.astype(np.float32)
+            lo = (z1_local - hi).astype(np.float32)
+            sharding = NamedSharding(self._zmesh, P(GENOME_AXIS, None))
+            z1_hi = np.asarray(self._z1_psum(
+                jax.device_put(hi, sharding)))[0]
+            z1_lo = np.asarray(self._z1_psum(
+                jax.device_put(lo, sharding)))[0]
+            z1 = z1_hi.astype(np.float64) + z1_lo.astype(np.float64)
+            # exactness guard: collectives must reproduce the serial sum
+            z1_serial = z1_local.sum(axis=0)
+            if not np.allclose(z1, z1_serial, rtol=0, atol=0):
+                z1 = z1_serial
+        else:
+            z1 = z1_local.sum(axis=0)
+
+        # --- bounded global selection (the mergesam heap policy) ---
+        out = []
+        for ri in range(len(entries)):
+            out.append((entries[ri], []))
+        for li in range(B):
+            merged = []
+            for s in range(self.S):
+                for h in per_shard[s].get(li, []):
+                    merged.append((s, h))
+            if not merged:
+                continue
+            merged.sort(key=lambda t: -t[1].pass2_key)
+            merged = merged[:self.cfg.num_outputs]
+            zz = float(z1[li])
+            for s, h in merged:
+                h.z0 = h.posterior
+                h.z1 = zz
+                if self.cfg.compute_mapping_qualities:
+                    h.mqv = (mapq.qv_from_pr_corr(h.posterior / zz)
+                             if zz else 0)
+                    if h.mqv < 4:
+                        h.mqv = 0
+            out[int(live_map[li])] = (entries[live_map[li]], merged)
+        return out
+
+    @property
+    def stats(self):
+        """Aggregated per-shard funnel counters."""
+        agg: dict = {}
+        for m in self.mappers:
+            for k, v in m.stats.items():
+                agg[k] = agg.get(k, 0) + v
+        return agg
+
+    @property
+    def tel(self):
+        """Aggregated kernel/stage telemetry across shards."""
+        from shrimp_tpu.utils import telemetry
+        t = telemetry.Telemetry()
+        for m in self.mappers:
+            for name in ("f1", "f2", "fwbw"):
+                ks = getattr(m.tel, name)
+                getattr(t, name).add(ks.invocs, ks.cells, ks.secs)
+            for sname, st in m.tel.stages.items():
+                t.stages[sname].secs += st.secs
+        return t
+
+    def contig_name(self, sn: int, cn: int) -> str:
+        return self.mappers[sn].index.contig_names[cn]
+
+    def sam_records(self, entry, shard_hits):
+        """SAM lines for one read's merged (shard, hit) list; each hit is
+        rendered through its shard's mapper (contig names/lengths are
+        shard-local), fields are per-hit so lines match the single-device
+        emission byte-for-byte."""
+        if not shard_hits:
+            return self.mappers[0].sam_records(entry, [])
+        sel = shard_hits
+        if self.cfg.single_best_mapping and \
+                self.cfg.compute_mapping_qualities:
+            best = max(range(len(shard_hits)),
+                       key=lambda i: shard_hits[i][1].mqv)
+            sel = [shard_hits[best]]
+        recs = []
+        for s, fh in sel:
+            recs.extend(self.mappers[s].sam_records(entry, [fh]))
+        return recs
+
+    def sam_header_lines(self, version: str, cmdline: str):
+        lines = ["@HD\tVN:1.0\tSO:unsorted"]
+        for m in self.mappers:
+            for nm, ln in zip(m.index.contig_names, m.index.contig_len):
+                lines.append(f"@SQ\tSN:{nm}\tLN:{int(ln)}")
+        lines.append(f"@PG\tID:gmapper\tVN:{version}\tCL:{cmdline}")
+        return lines
+
+
+def split_index_shards(contigs, n_shards: int, seed_set=None,
+                       colour_space: bool = False):
+    """split-db style sharding: group whole contigs into n_shards
+    contiguous, size-balanced groups (contigs are never split,
+    README:158-164; original order preserved so score-tie ordering in the
+    merge matches the single-index run), then build one index per shard."""
+    from shrimp_tpu import index as gindex
+    contigs = list(contigs)
+    total = sum(len(c.codes) for c in contigs)
+    target = total / max(n_shards, 1)
+    bins: list[list] = [[]]
+    acc = 0
+    for c in contigs:
+        if acc >= target and len(bins) < n_shards:
+            bins.append([])
+            acc = 0
+        bins[-1].append(c)
+        acc += len(c.codes)
+    return [gindex.build_index(b, seed_set, colour_space=colour_space)
+            for b in bins if b]
