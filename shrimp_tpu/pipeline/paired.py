@@ -498,16 +498,26 @@ class PairedMapper(Mapper):
             dmin[pi, 1], dmax[pi, 1] = d1[1]
 
         # sort h1 into (rid, st, cn, g_off) order and pack a comparable
-        # int64 key: rid*2+st (<= 2^21) | cn (<= 2^10) | g_off+1 (<= 2^32)
-        # (g_off offset by +1 keeps the key monotone for g_off == -1 bounds)
-        if self.index.num_contigs > 1024:
-            raise NotImplementedError("pair-up packing caps at 1024 contigs")
+        # int64 key rid*2+st | cn | g_off+1 with bit widths sized to the
+        # genome: scaffold-heavy draft assemblies have many SMALL contigs,
+        # so cn and g_off bits trade off inside the 63-bit budget
+        # (g_off offset by +1 keeps the key monotone for g_off == -1)
+        cn_bits = max(int(self.index.num_contigs).bit_length(), 1)
+        max_clen = int(self.index.contig_len.max()) if \
+            self.index.num_contigs else 1
+        goff_bits = max((max_clen + 2).bit_length(), 2)
+        rid_bits = (2 * max(len(entries1), 1) + 1).bit_length()
+        if cn_bits + goff_bits + rid_bits > 63:
+            raise NotImplementedError(
+                f"pair-up key overflow: {self.index.num_contigs} contigs x "
+                f"{max_clen}bp x {len(entries1)} reads")
         order1 = np.lexsort((h1.g_off, h1.cn, h1.st, h1.rid))
 
         def pack(rid, st, cn, goff):
-            return (((rid.astype(np.int64) * 2 + st) << 42)
-                    | (cn.astype(np.int64) << 32)
-                    | (np.clip(goff + 1, 0, (1 << 32) - 1)))
+            return (((rid.astype(np.int64) * 2 + st)
+                     << (cn_bits + goff_bits))
+                    | (cn.astype(np.int64) << goff_bits)
+                    | (np.clip(goff + 1, 0, (1 << goff_bits) - 1)))
 
         skey = pack(h1.rid[order1], h1.st[order1].astype(np.int64),
                     h1.cn[order1], h1.g_off[order1].astype(np.int64))
