@@ -1,86 +1,189 @@
 #!/usr/bin/env python3
-"""Benchmark: unpaired letter-space mapping throughput (reads/sec/chip).
+"""Benchmark: unpaired letter-space mapping at hg18-class scale.
 
-Baseline anchor: the reference SHRiMP2 maps ~44 reads/s/core (36bp reads vs
-hg18 on a 2011 3GHz core — README:106-108; BASELINE.md).  This bench maps
-synthetic 50bp reads (SNP+indel mutated, both strands) against a random 2Mbp
-genome and prints one JSON line with reads/sec on the current chip.
+Maps mutated 50bp reads against a 1 Gbp synthetic genome with realistic
+repeat structure (Alu-like SINE at ~10% + LINE-like elements at ~7%,
+5-15% diverged copies — the heavy-tailed posting lists that make hg18
+hard), under the reference's automatic index trimming
+(cutoff = max(1000, 100*L/4^w), gmapper.c:2809-2835).
+
+Reports reads/s/chip (the BASELINE.md anchor: 44 reads/s/core for the
+reference on a 2011 3GHz core), per-kernel cells/s, and the
+precision/recall of mutated-read recovery under the reference's published
+sensitivity condition (1 SNP + 1 indel <= 5bp + per-base error;
+README:102-104 anchors 94.4%/78.6% for CS reads).
+
+The built index is cached under ~/.cache/shrimp_tpu/ (raw arrays +
+memmap), so repeat runs skip the ~7-minute single-core build.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+GENOME_BP = 1_000_000_000
+N_READS = 16384
+READ_LEN = 50
+BATCH = 2048
+CACHE = os.path.join(os.path.expanduser("~"), ".cache", "shrimp_tpu",
+                     "bench1g_v1")
 
-def make_data(genome_bp=2_000_000, n_reads=16384, read_len=50, seed=7):
-    rng = np.random.default_rng(seed)
-    genome = rng.integers(0, 4, size=genome_bp).astype(np.int8)
-    reads = []
+
+def make_genome(rng):
+    """1 Gbp in 25 chromosomes with interspersed diverged repeats."""
+    sine = rng.integers(0, 4, 300).astype(np.int8)       # Alu-like
+    line = rng.integers(0, 4, 6000).astype(np.int8)      # LINE-like
+    chroms = []
+    n_chrom = 25
+    clen = GENOME_BP // n_chrom
+    for ci in range(n_chrom):
+        g = rng.integers(0, 4, clen).astype(np.int8)
+        # paste diverged repeat copies: ~10% SINE + ~7% LINE coverage
+        # (vectorized: all copies mutated as one matrix, scattered at once)
+        for elem, cover in ((sine, 0.10), (line, 0.07)):
+            E = len(elem)
+            n_copies = int(clen * cover / E)
+            pos = rng.integers(0, clen - E, n_copies)
+            copies = np.broadcast_to(elem, (n_copies, E)).copy()
+            div = (rng.random((n_copies, 1)) * 0.10 + 0.05)
+            mut = rng.random((n_copies, E)) < div        # 5-15% divergence
+            copies[mut] = (copies[mut]
+                           + rng.integers(1, 4, int(mut.sum()))) % 4
+            g[pos[:, None] + np.arange(E)[None, :]] = copies
+        chroms.append(g)
+    return chroms
+
+
+def build_or_load_index():
+    from shrimp_tpu import index as gindex
+    from shrimp_tpu import seeds as seedmod
+    from shrimp_tpu.io import fastx
+
+    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+    t0 = time.time()
+    if os.path.exists(CACHE + ".mmap.json"):
+        idx = gindex.GenomeIndex.load_mmap(CACHE)
+        return idx, time.time() - t0, True
+    rng = np.random.default_rng(20260817)
+    chroms = make_genome(rng)
+    contigs = [fastx.Contig(name=f"chr{i + 1}", codes=g)
+               for i, g in enumerate(chroms)]
+    gen_secs = time.time() - t0
+    t0 = time.time()
+    idx = gindex.build_index(contigs, seedmod.make_seed_set(None))
+    build_secs = time.time() - t0
+    # the reference's automatic mapping-job trim (gmapper.c:2809-2835)
+    max_w = max(s.weight for s in idx.seed_set.seeds)
+    cutoff = max(1000, (100 * idx.total_len) // (4 ** max_w))
+    idx.trim(cutoff)
+    idx.save_mmap(CACHE)
+    sys.stderr.write(f"bench: genome gen {gen_secs:.0f}s, index build "
+                     f"{build_secs:.0f}s ({GENOME_BP / 1e6 / build_secs:.1f} "
+                     f"Mbp/s single-core), cutoff {cutoff}\n")
+    return idx, build_secs, False
+
+
+def make_reads(idx, rng, n_reads):
+    """Mutated reads under the reference sensitivity condition: 1 SNP +
+    1 indel (<=5bp) + 4%% per-base error, both strands; truth recorded."""
     from shrimp_tpu import dna
+    genome = idx.genome
+    L = len(genome)
+    reads = []
+    truth = []
     for i in range(n_reads):
-        p = rng.integers(0, genome_bp - read_len)
-        r = genome[p:p + read_len].copy()
-        kind = rng.random()
-        if kind < 0.5:
-            for _ in range(rng.integers(1, 3)):
-                q = rng.integers(0, len(r))
-                r[q] = (r[q] + rng.integers(1, 4)) % 4
-        elif kind < 0.75:
-            r = np.delete(r, rng.integers(5, len(r) - 5))
+        p = int(rng.integers(0, L - READ_LEN - 8))
+        r = genome[p:p + READ_LEN + 6].copy()
+        # 1 SNP
+        q = int(rng.integers(0, READ_LEN))
+        r[q] = (r[q] + int(rng.integers(1, 4))) % 4
+        # 1 indel <= 5bp
+        ilen = int(rng.integers(1, 6))
+        qi = int(rng.integers(5, READ_LEN - 5))
         if rng.random() < 0.5:
+            r = np.delete(r, slice(qi, qi + ilen))
+        else:
+            ins = rng.integers(0, 4, ilen).astype(np.int8)
+            r = np.insert(r, qi, ins)
+        r = r[:READ_LEN]
+        # 4% per-base error
+        err = rng.random(READ_LEN) < 0.04
+        r[err] = (r[err] + rng.integers(1, 4, int(err.sum()))) % 4
+        rc = bool(rng.random() < 0.5)
+        if rc:
             r = dna.reverse_complement(r)
-        reads.append(("r%05d" % i, dna.decode(r), "h" * len(r)))
-    return genome, reads
+        reads.append((f"r{i:05d}", dna.decode(r), "h" * len(r)))
+        truth.append(p)
+    return reads, np.array(truth)
 
 
 def main():
-    from shrimp_tpu import dna, index as gindex
-    from shrimp_tpu.io import fastx
     from shrimp_tpu.pipeline.mapper import Mapper
     from shrimp_tpu.pipeline.options import MapperConfig
 
-    t0 = time.time()
-    genome, reads = make_data()
-    contig = fastx.Contig(name="chr1", codes=genome)
-    idx = gindex.build_index([contig])
-    build_secs = time.time() - t0
-
+    idx, index_secs, cached = build_or_load_index()
     mapper = Mapper(idx, MapperConfig(qual_delta=64))
 
-    batch = 4096
-    # warmup (JIT compile) at full batch shape
-    for _ in mapper.map_stream(iter(reads[:batch * 2]), batch):
+    rng = np.random.default_rng(7)
+    reads, truth = make_reads(idx, rng, N_READS)
+
+    # warmup (JIT compile + auto-tune) at full batch shape
+    for _ in mapper.map_stream(iter(reads[:BATCH * 2]), BATCH):
         pass
 
-    best_secs = None
-    n_done = 0
-    n_matched = 0
-    for rep in range(3):
-        t0 = time.time()
-        n_done = 0
-        n_matched = 0
-        for _, hits in mapper.map_stream(iter(reads), batch):
-            n_done += 1
-            n_matched += 1 if hits else 0
-        secs = time.time() - t0
-        best_secs = secs if best_secs is None else min(best_secs, secs)
-    secs = best_secs
+    coffs = idx.contig_offsets
 
-    rps = n_done / secs
-    baseline_rps = 44.0  # reference reads/s/core (BASELINE.md)
+    def run_once():
+        t0 = time.time()
+        n_done = n_matched = n_correct = 0
+        top_correct = []
+        for ri, (_, hits) in enumerate(
+                mapper.map_stream(iter(reads), BATCH)):
+            n_done += 1
+            if hits:
+                n_matched += 1
+                h = hits[0]
+                gs0 = h.g_off + h.genome_start
+                if h.gen_st == 0:
+                    gpos = int(coffs[h.cn]) + gs0
+                else:
+                    # SAM POS formula for reverse hits (io/sam.py:171-173)
+                    clen = int(idx.contig_len[h.cn])
+                    gpos = int(coffs[h.cn]) + (clen - gs0) - h.gmapped
+                ok = abs(gpos - truth[ri]) <= 8
+                n_correct += ok
+        return time.time() - t0, n_done, n_matched, n_correct
+
+    best = None
+    for rep in range(2):
+        secs, n_done, n_matched, n_correct = run_once()
+        best = secs if best is None else min(best, secs)
+
+    rps = n_done / best
+    recall = n_correct / n_done
+    precision = n_correct / max(n_matched, 1)
+    tel = mapper.tel
+    baseline_rps = 44.0                     # reference reads/s/core
     print(json.dumps({
-        "metric": "unpaired_reads_per_sec_per_chip",
-        "value": round(rps, 2),
+        "metric": "unpaired_reads_per_sec_per_chip_1Gbp",
+        "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / baseline_rps, 2),
         "detail": {
+            "genome_bp": GENOME_BP,
             "n_reads": n_done,
+            "map_secs": round(best, 2),
             "matched_frac": round(n_matched / n_done, 4),
-            "map_secs": round(secs, 2),
-            "index_build_secs": round(build_secs, 2),
-            "genome_bp": int(len(genome)),
+            "recall_top_hit": round(recall, 4),
+            "precision_top_hit": round(precision, 4),
+            "sensitivity_anchor": "reference 94.4%/78.6% (CS, README:102)",
+            "index_secs": round(index_secs, 1),
+            "index_cached": cached,
+            "vector_sw_cells_per_sec": round(tel.f1.cells_per_sec),
+            "scalar_sw_cells_per_sec": round(tel.f2.cells_per_sec),
         },
     }))
 

@@ -148,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
     index_format = "npz"
     genome_shards = 1
     n_devices = 0
+    auto_trim_off = False
 
     def _region_bits():
         from shrimp_tpu.pipeline import candidates_batch as _cb
@@ -308,6 +309,7 @@ def main(argv: list[str] | None = None) -> int:
             d_stats = True
         elif o in ("-V", "--trim-off"):
             cfg.list_cutoff = 0xFFFFFFFF
+            auto_trim_off = True
         elif o in ("-M",):
             # set_mode_from_string accepts only "mirna"; anything else —
             # including ls/cs — is rejected (gmapper.c:1495-1516,2119-2129)
@@ -642,6 +644,15 @@ def main(argv: list[str] | None = None) -> int:
             for c in fastx.iter_contigs(gf):
                 log(f"- Processing contig {c.name}")
                 contigs.append(c)
+        # automatic list trimming for mapping jobs
+        # (cutoff := max(1000, 100*L/4^max_weight), gmapper.c:2809-2835)
+        if not auto_trim_off and save_prefix is None and \
+                save_mmap_prefix is None and \
+                cfg.list_cutoff == 0xFFFFFFFF:
+            total_len = sum(len(c.codes) for c in contigs)
+            max_w = (12 if use_hashing
+                     else max(s.weight for s in seed_set.seeds))
+            cfg.list_cutoff = max(1000, (100 * total_len) // (4 ** max_w))
         if genome_shards > 1:
             from shrimp_tpu.parallel.mesh import split_index_shards
             shard_indexes = split_index_shards(
@@ -982,7 +993,8 @@ def main(argv: list[str] | None = None) -> int:
                         yield (rec.name, rec.seq, rec.qual)
             for re_e, hits in mapper.map_stream(
                     triples_gen(), batch_size=batch_size,
-                    options=unpaired_option_sets or None):
+                    options=unpaired_option_sets or None,
+                    n_workers=threads):
                 emit_result(re_e, hits)
 
     dt = time.time() - t_map0

@@ -137,16 +137,19 @@ def load_candidates() -> ctypes.CDLL | None:
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(c_ll)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    u16p = ctypes.POINTER(ctypes.c_uint16)
     u32p2 = ctypes.POINTER(ctypes.c_uint32)
     lib.region_has2_filter.restype = c_ll
     lib.region_has2_filter.argtypes = [
         i32p, i64p, c_ll, ctypes.c_int, ctypes.c_int, c_ll, c_ll,
-        u16p, u8p]
+        u8p, u8p]
     lib.expand_postings.restype = c_ll
     lib.expand_postings.argtypes = [i64p, i64p, c_ll, i64p, i64p]
     lib.expand_postings_fused.restype = c_ll
     lib.expand_postings_fused.argtypes = [
         i64p, i64p, i32p, i32p, i64p, c_ll, u32p2, i64p, i32p, i32p]
+    i8p2 = ctypes.POINTER(ctypes.c_int8)
+    lib.pass1_suppress.restype = None
+    lib.pass1_suppress.argtypes = [
+        i64p, c_ll, i32p, i8p2, i32p, i64p, i64p, i64p, i64p, i64p, u8p]
     _CAND_LIB = lib
     return lib

@@ -27,21 +27,22 @@
 long long region_has2_filter(const int32_t *rid, const int64_t *x,
                              long long n, int region_bits,
                              int region_overlap, long long n_regions,
-                             long long n_reads, uint16_t *table,
+                             long long n_reads, uint8_t *table,
                              uint8_t *keep_out)
 {
     /* `table` is a caller-owned zeroed workspace (n_reads * n_regions
-     * uint16); touched cells are re-zeroed before returning so the
-     * buffer can be reused without an O(table) clear per call. */
+     * uint8, saturating at 255 — has-2 only needs >= 2); touched cells
+     * are re-zeroed before returning so the buffer can be reused
+     * without an O(table) clear per call. */
     long long i;
     int64_t mask = ((int64_t)1 << region_bits) - 1;
     for (i = 0; i < n; i++) {
         int64_t reg = x[i] >> region_bits;
         long long k = (long long)rid[i] * n_regions + reg;
-        if (table[k] < 0xFFFF)
+        if (table[k] < 0xFF)
             table[k]++;
         if ((x[i] & mask) < region_overlap && reg > 0)
-            if (table[k - 1] < 0xFFFF)
+            if (table[k - 1] < 0xFF)
                 table[k - 1]++;
     }
     for (i = 0; i < n; i++) {
@@ -102,4 +103,42 @@ long long expand_postings_fused(const int64_t *lens, const int64_t *lo,
         }
     }
     return k;
+}
+
+/* Pass-1 window-overlap suppression scan (read_pass1_per_strand,
+ * gmapper/mapping.c:1303-1330): sequential per (read, strand) group in
+ * hit-list order — a window is suppressed when it overlaps the last
+ * window that cleared the threshold by more than window_overlap.
+ *   order: int64[n] iteration order (lexsort by (rid, st));
+ *   ovl:   int64 per-read abs_or_pct(window_overlap, window_len);
+ *   wlen:  int64 per-read window length. */
+void pass1_suppress(const int64_t *order, long long n,
+                    const int32_t *rid, const int8_t *st,
+                    const int32_t *cn, const int64_t *goff,
+                    const int64_t *scores, const int64_t *thr,
+                    const int64_t *ovl_r, const int64_t *wlen_r,
+                    uint8_t *suppressed)
+{
+    long long i;
+    int64_t lg = -1;
+    int32_t prev_r = -1;
+    int8_t prev_s = -1;
+    for (i = 0; i < n; i++) {
+        int64_t k = order[i];
+        int32_t r = rid[k];
+        int8_t s = st[k];
+        if (r != prev_r || s != prev_s) {
+            lg = -1;
+            prev_r = r;
+            prev_s = s;
+        }
+        if (lg >= 0 && cn[k] == cn[lg]
+            && goff[k] + ovl_r[r] <= goff[lg] + wlen_r[r]) {
+            suppressed[k] = 1;
+            continue;
+        }
+        suppressed[k] = 0;
+        if (scores[k] >= thr[k])
+            lg = k;
+    }
 }

@@ -143,11 +143,11 @@ def region_has2_filter(rid: np.ndarray, x: np.ndarray,
             n_reads = int(rid.max()) + 1
             n_regions = (int(x.max()) >> region_bits) + 1
             tbl_sz = n_reads * n_regions
-            if tbl_sz <= (1 << 31):
+            if tbl_sz <= (1 << 33):
                 global _REGION_TABLE
                 if _REGION_TABLE is None or len(_REGION_TABLE) < tbl_sz:
                     _REGION_TABLE = np.zeros(
-                        max(tbl_sz, 1 << 20), np.uint16)
+                        max(tbl_sz, 1 << 20), np.uint8)
                 rid32 = np.ascontiguousarray(rid, np.int32)
                 x64 = np.ascontiguousarray(x, np.int64)
                 keep = np.empty(len(x), np.uint8)
@@ -157,7 +157,7 @@ def region_has2_filter(rid: np.ndarray, x: np.ndarray,
                     len(x), region_bits, region_overlap,
                     n_regions, n_reads,
                     _REGION_TABLE.ctypes.data_as(
-                        ctypes.POINTER(ctypes.c_uint16)),
+                        ctypes.POINTER(ctypes.c_uint8)),
                     keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
                 if rc == 0:
                     return keep.astype(bool)

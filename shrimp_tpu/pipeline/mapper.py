@@ -38,6 +38,28 @@ from shrimp_tpu.pipeline.options import (MapperConfig, ReadMappingOptions,
 from shrimp_tpu.utils import telemetry
 
 
+import functools as _functools
+
+
+@_functools.partial(__import__("jax").jit,
+                    static_argnames=("G", "params"))
+def _gather_score_ls(genome_dev, lo, wlen, rid, st, reads2, G, params):
+    """Fused on-device window gather + pass-1 vector SW (LS).
+
+    genome_dev int8 [L] resident plane; lo int32 [N] absolute window
+    starts; wlen int32 [N]; rid/st int32 [N] select each window's read
+    row from reads2 int8 [B, 2, R]."""
+    import jax.numpy as jnp
+    cols = jnp.arange(G, dtype=jnp.int32)
+    idx = jnp.minimum(lo[:, None] + cols[None, :],
+                      genome_dev.shape[0] - 1)
+    win = jnp.take(genome_dev, idx)
+    win = jnp.where(cols[None, :] < wlen[:, None], win,
+                    jnp.int8(sw_vector.GENOME_PAD))
+    rb = reads2[rid, st]
+    return sw_vector.sw_score_batch(win, rb, params)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -146,6 +168,7 @@ class Mapper:
                       "device_l3_fallbacks": 0}
         self.tel = telemetry.Telemetry()
         self._dev_l3 = None
+        self._genome_dev = None
         self._dev_l3_a_cap = self.DEVICE_L3_A_CAP
         self._dev_l3_a2_cap = self.DEVICE_L3_A2_CAP
         self._l3_choice = None          # auto-tune result ("device"/"host")
@@ -158,6 +181,18 @@ class Mapper:
         with self._stats_lock:
             for k, v in deltas.items():
                 self.stats[k] += v
+
+    def _pass1_dev_ok(self) -> bool:
+        """Device-side pass-1 window gather eligibility (LS, genome plane
+        resident in HBM)."""
+        if self.cfg.colour_space or not self.cfg.device_pass1_gather:
+            return False
+        if self.index.total_len >= (1 << 31) or self.index.total_len == 0:
+            return False
+        if self._genome_dev is None:
+            import jax.numpy as jnp
+            self._genome_dev = jnp.asarray(self.index.genome)
+        return True
 
     # ------------------------------------------------------------------
     def _gather_windows(self, plane: np.ndarray, cn: np.ndarray,
@@ -180,9 +215,33 @@ class Mapper:
         LS scores read[st] against the forward genome; CS first applies the
         reverse_hit framing (read_pass1_per_strand, mapping.c:1317-1341):
         the input-strand colour read against the CS plane of the hit's
-        genome strand, colour 0 against lstocs(letter plane, initbp)."""
+        genome strand, colour 0 against lstocs(letter plane, initbp).
+
+        LS windows are gathered ON DEVICE from the resident genome plane
+        when it fits HBM: per-batch transfer drops from O(windows * G)
+        window bytes to O(windows) int32 indices + one [B, 2, R] read
+        matrix — the difference between 300MB and 16MB per batch at
+        hg18-scale window counts."""
         cfg = self.cfg
         if not cfg.colour_space:
+            if self._pass1_dev_ok():
+                lo = (self.index.contig_offsets[cn]
+                      + g_off_pos).astype(np.int32)
+                B = len(entries)
+                rb2 = np.full((B, 2, R), sw_vector.READ_PAD, np.int8)
+                for b, e in enumerate(entries):
+                    rb2[b, 0, :e.read_len] = e.read[0]
+                    rb2[b, 1, :e.read_len] = e.read[1]
+                lo = _pad_rows(lo, NB, 0)
+                ridp = _pad_rows(rid.astype(np.int32), NB, 0)
+                stp = _pad_rows(st.astype(np.int32), NB, 0)
+                wl = _pad_rows(w_len.astype(np.int32), NB, 0)
+                dev = _gather_score_ls(
+                    self._genome_dev, lo, wl, ridp, stp, rb2, G,
+                    cfg.params)
+                if not sync:
+                    return dev
+                return np.asarray(dev)[:len(rid)].astype(np.int64)
             gb = self._gather_windows(self.index.genome, cn, g_off_pos,
                                       w_len, G)
             rb = self._reads_matrix(entries, rid, st, R)
@@ -278,15 +337,46 @@ class Mapper:
 
     # ------------------------------------------------------------------
     def map_stream(self, reads_iter, batch_size: int = 8192,
-                   options: list[ReadMappingOptions] | None = None):
+                   options: list[ReadMappingOptions] | None = None,
+                   n_workers: int = 1):
         """Pipelined mapping over a read stream.
 
         Yields (ReadEntry, hits) in input order.  Host work (read prep,
         candidate generation, selection) for one batch overlaps the
         asynchronous device DP of its neighbours — the reference's
-        OpenMP-overlap analogue with the chip as the second 'thread'."""
+        OpenMP-overlap analogue with the chip as the second 'thread'.
+
+        n_workers > 1 (-N) runs whole batches on a worker pool instead:
+        up to n_workers batches in flight, numpy/C stages release the GIL
+        so host multicore machines get real concurrency (output order and
+        bytes identical — stats are lock-guarded)."""
         cfg = self.cfg
         opts = (options or cfg.unpaired_options())[0]
+
+        if n_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            ex = ThreadPoolExecutor(max_workers=n_workers)
+
+            def run_batch(reads):
+                return self.map_batch(reads, options=options)
+
+            try:
+                futs = []
+                batch: list = []
+                for rec in reads_iter:
+                    batch.append(rec)
+                    if len(batch) >= batch_size:
+                        futs.append(ex.submit(run_batch, batch))
+                        batch = []
+                        while len(futs) > n_workers:
+                            yield from futs.pop(0).result()
+                if batch:
+                    futs.append(ex.submit(run_batch, batch))
+                for f in futs:
+                    yield from f.result()
+            finally:
+                ex.shutdown(wait=True)
+            return
 
         def stage0(reads):
             with self.tel.stage("readparse"):
@@ -700,30 +790,60 @@ class Mapper:
         _f1_secs = time.time() - _t0
         score_max = hb.score_max[idxs].astype(np.int64)
         if opts.pass1.threshold >= 0:
-            thr = (score_max * (opts.pass1.threshold / 100.0))
+            # (int)abs_or_pct truncation (read_pass1_per_strand,
+            # mapping.c:1353) — the float product is cast, not rounded
+            thr = (score_max
+                   * (opts.pass1.threshold / 100.0)).astype(np.int64)
         else:
-            thr = np.full(len(idxs), -opts.pass1.threshold)
+            thr = np.full(len(idxs), int(-opts.pass1.threshold), np.int64)
 
         # window-overlap suppression scan per (read, strand), in hit order
-        # (read_pass1_per_strand, mapping.c:1303-1330)
+        # (read_pass1_per_strand, mapping.c:1303-1330); sequential
+        # dependence -> the native C scan (Python fallback below)
         wlen_cfg = np.array([e.window_len for e in entries], np.int64)
+        ovl_r = np.array([int(abs_or_pct(opts.pass1.window_overlap, w))
+                          for w in wlen_cfg], np.int64)
         order_key = np.lexsort((np.arange(len(idxs)), st, rid))
         suppressed = np.zeros(len(idxs), bool)
-        lg_ptr = -1
-        prev_rid = prev_st = None
-        for n in order_key:
-            r, s = rid[n], st[n]
-            if (r, s) != (prev_rid, prev_st):
-                lg_ptr = -1
-                prev_rid, prev_st = r, s
-            if lg_ptr >= 0 and hb.cn[idxs[n]] == hb.cn[idxs[lg_ptr]] \
-               and (hb.g_off[idxs[n]]
-                    + int(abs_or_pct(opts.pass1.window_overlap, wlen_cfg[r]))
-                    <= hb.g_off[idxs[lg_ptr]] + wlen_cfg[r]):
-                suppressed[n] = True
-                continue
-            if scores[n] >= thr[n]:
-                lg_ptr = n
+        from shrimp_tpu import native as _native
+        _clib = _native.load_candidates()
+        if _clib is not None and hasattr(_clib, "pass1_suppress"):
+            import ctypes as _ct
+            _i64p = _ct.POINTER(_ct.c_longlong)
+            _sup = np.zeros(len(idxs), np.uint8)
+            _cn = np.ascontiguousarray(hb.cn[idxs], np.int32)
+            _go = np.ascontiguousarray(hb.g_off[idxs], np.int64)
+            _thr = np.ascontiguousarray(thr, np.int64)
+            _sc = np.ascontiguousarray(scores, np.int64)
+            _rid = np.ascontiguousarray(rid, np.int32)
+            _st = np.ascontiguousarray(st, np.int8)
+            _ord = np.ascontiguousarray(order_key, np.int64)
+            _clib.pass1_suppress(
+                _ord.ctypes.data_as(_i64p), len(idxs),
+                _rid.ctypes.data_as(_ct.POINTER(_ct.c_int32)),
+                _st.ctypes.data_as(_ct.POINTER(_ct.c_int8)),
+                _cn.ctypes.data_as(_ct.POINTER(_ct.c_int32)),
+                _go.ctypes.data_as(_i64p),
+                _sc.ctypes.data_as(_i64p), _thr.ctypes.data_as(_i64p),
+                np.ascontiguousarray(ovl_r).ctypes.data_as(_i64p),
+                np.ascontiguousarray(wlen_cfg).ctypes.data_as(_i64p),
+                _sup.ctypes.data_as(_ct.POINTER(_ct.c_uint8)))
+            suppressed = _sup.astype(bool)
+        else:
+            lg_ptr = -1
+            prev_rid = prev_st = None
+            for n in order_key:
+                r, s = rid[n], st[n]
+                if (r, s) != (prev_rid, prev_st):
+                    lg_ptr = -1
+                    prev_rid, prev_st = r, s
+                if lg_ptr >= 0 and hb.cn[idxs[n]] == hb.cn[idxs[lg_ptr]] \
+                   and (hb.g_off[idxs[n]] + ovl_r[r]
+                        <= hb.g_off[idxs[lg_ptr]] + wlen_cfg[r]):
+                    suppressed[n] = True
+                    continue
+                if scores[n] >= thr[n]:
+                    lg_ptr = n
 
         eff_scores = np.where(suppressed, 0, scores)
         # kernel telemetry: the reference invokes the filter only for

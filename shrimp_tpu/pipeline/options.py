@@ -119,6 +119,12 @@ class MapperConfig:
     # eligible batch and keep the winner — on co-located TPUs the device
     # path wins, through a high-latency tunnel the native host path does)
     device_candidates: object = "auto"
+    # LS pass1 on-device window gather from the resident genome plane:
+    # cuts per-batch host->device bytes ~20x, but measured slower than
+    # shipping pre-gathered windows on this hardware (the batched gather
+    # lowering beats the transfer only on high-bandwidth interconnects);
+    # off by default, flip on for co-located chips
+    device_pass1_gather: bool = False
     bfast: bool = False               # Bflag: bfast-style CS base quals
     all_contigs: bool = False         # suppresses Z-field emission
     sam_read_group_name: str | None = None   # --read-group id (RG:Z tag)
