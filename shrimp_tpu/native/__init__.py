@@ -151,5 +151,12 @@ def load_candidates() -> ctypes.CDLL | None:
     lib.pass1_suppress.restype = None
     lib.pass1_suppress.argtypes = [
         i64p, c_ll, i32p, i8p2, i32p, i64p, i64p, i64p, i64p, i64p, u8p]
+    lib.anchors_from_postings.restype = c_ll
+    lib.anchors_from_postings.argtypes = [
+        i32p, i64p, i32p, i32p, u8p, c_ll,      # rid, x, y, ln, keep, n
+        i64p, c_ll,                             # rlen, max_rlen
+        i64p, c_ll,                             # contig_offsets, n_contigs
+        ctypes.c_int,                           # collapse
+        i32p, i64p, i32p, i32p, i32p, i32p]     # out rid,x,y,ln,wt,cn
     _CAND_LIB = lib
     return lib

@@ -142,3 +142,188 @@ void pass1_suppress(const int64_t *order, long long n,
             lg = k;
     }
 }
+
+
+/* ------------------------------------------------------------------ *
+ * Fused anchor-list construction (read_get_anchor_list_per_strand,
+ * gmapper/mapping.c:877-1015): filter postings by a keep mask, stable
+ * sort by (rid, x), collapse colinear same-diagonal anchors with the
+ * reference's per-slot anchor cache (diag % rlen slots — the exact
+ * semantics of the NumPy (rid, slot)-grouped run collapse and of
+ * mapping.c:997-1013), and resolve contig numbers with a forward-moving
+ * offset pointer.  Replaces two 13M-row argsorts plus ~8 fancy-gather
+ * passes on the NumPy side with one C pass.
+ *
+ * Sort: stable LSD radix on key = rid << shift | x (16-bit digits,
+ * shift = bits(max_x), pass count adapted to the key width) — matches
+ * np.argsort(..., kind="stable") on the same combined key.
+ *
+ * Returns n_out (anchor rows written) or -1 on alloc failure.
+ * Thread-safe: all workspace is thread-local (the -N worker pool calls
+ * with the GIL released); the collapse cache epoch is monotonic across
+ * calls so no clearing is ever needed.
+ */
+
+typedef struct {
+    uint64_t key;                   /* rid << shift | x */
+    int32_t y;
+    int32_t ln;
+} anch_rec;
+
+static __thread anch_rec *tls_a = 0, *tls_b = 0;
+static __thread long long tls_cap = 0;
+static __thread int64_t *tls_slot_diag = 0, *tls_slot_epoch = 0,
+                        *tls_slot_out = 0;
+static __thread int32_t *tls_slot_cn = 0;
+static __thread long long tls_slot_cap = 0;
+static __thread int64_t tls_epoch = 0;
+
+long long anchors_from_postings(
+    const int32_t *rid, const int64_t *x, const int32_t *y,
+    const int32_t *ln, const uint8_t *keep, long long n,
+    const int64_t *rlen,            /* int64[n_reads] read lengths */
+    long long max_rlen,
+    const int64_t *contig_offsets, long long n_contigs,
+    int collapse,
+    int32_t *out_rid, int64_t *out_x, int32_t *out_y,
+    int32_t *out_ln, int32_t *out_wt, int32_t *out_cn)
+{
+    long long i, m = 0, n_out = 0;
+    uint64_t max_x = 0, max_key = 0;
+    int shift, passes, p;
+    static __thread int64_t counts[65536];
+
+    if (n == 0)
+        return 0;
+    if (tls_cap < n) {
+        free(tls_a);
+        free(tls_b);
+        tls_cap = n + n / 4;
+        tls_a = (anch_rec *)malloc((size_t)tls_cap * sizeof(anch_rec));
+        tls_b = (anch_rec *)malloc((size_t)tls_cap * sizeof(anch_rec));
+        if (!tls_a || !tls_b) {
+            free(tls_a); free(tls_b);
+            tls_a = tls_b = 0; tls_cap = 0;
+            return -1;
+        }
+    }
+    if (tls_slot_cap < max_rlen) {
+        free(tls_slot_diag); free(tls_slot_epoch);
+        free(tls_slot_out); free(tls_slot_cn);
+        tls_slot_cap = max_rlen;
+        tls_slot_diag = (int64_t *)calloc(max_rlen, sizeof(int64_t));
+        tls_slot_epoch = (int64_t *)calloc(max_rlen, sizeof(int64_t));
+        tls_slot_out = (int64_t *)calloc(max_rlen, sizeof(int64_t));
+        tls_slot_cn = (int32_t *)calloc(max_rlen, sizeof(int32_t));
+        if (!tls_slot_diag || !tls_slot_epoch || !tls_slot_out
+            || !tls_slot_cn) {
+            free(tls_slot_diag); free(tls_slot_epoch);
+            free(tls_slot_out); free(tls_slot_cn);
+            tls_slot_diag = tls_slot_epoch = tls_slot_out = 0;
+            tls_slot_cn = 0;
+            tls_slot_cap = 0;
+            return -1;
+        }
+        tls_epoch = 0;
+    }
+
+    for (i = 0; i < n; i++)
+        if ((keep == 0 || keep[i]) && (uint64_t)x[i] > max_x)
+            max_x = (uint64_t)x[i];
+    shift = 1;
+    while (shift < 62 && (max_x >> shift) != 0)
+        shift++;
+    for (i = 0; i < n; i++) {
+        if (keep && !keep[i])
+            continue;
+        tls_a[m].key = ((uint64_t)(uint32_t)rid[i] << shift)
+                       | (uint64_t)x[i];
+        tls_a[m].y = y[i];
+        tls_a[m].ln = ln[i];
+        if (tls_a[m].key > max_key)
+            max_key = tls_a[m].key;
+        m++;
+    }
+    if (m == 0)
+        return 0;
+    passes = 1;
+    while (passes < 4 && (max_key >> (16 * passes)) != 0)
+        passes++;
+
+    {
+        anch_rec *src = tls_a, *dst = tls_b, *tmp;
+        for (p = 0; p < passes; p++) {
+            int sh = 16 * p;
+            memset(counts, 0, sizeof(counts));
+            for (i = 0; i < m; i++)
+                counts[(src[i].key >> sh) & 0xFFFF]++;
+            {
+                int64_t acc = 0, c;
+                int d;
+                for (d = 0; d < 65536; d++) {
+                    c = counts[d];
+                    counts[d] = acc;
+                    acc += c;
+                }
+            }
+            for (i = 0; i < m; i++)
+                dst[counts[(src[i].key >> sh) & 0xFFFF]++] = src[i];
+            tmp = src; src = dst; dst = tmp;
+        }
+        if (src != tls_a)
+            memcpy(tls_a, src, (size_t)m * sizeof(anch_rec));
+    }
+
+    {
+        int64_t cur_key_rid = -1;
+        int64_t R = 1, cp = 0;
+        uint64_t xmask = ((uint64_t)1 << shift) - 1;
+        for (i = 0; i < m; i++) {
+            int64_t xi = (int64_t)(tls_a[i].key & xmask);
+            int64_t ri = (int64_t)(tls_a[i].key >> shift);
+            int32_t yi = tls_a[i].y, li = tls_a[i].ln;
+            int64_t diag, slot, ext;
+            int32_t cn;
+            if (ri != cur_key_rid) {
+                cur_key_rid = ri;
+                R = rlen[ri];
+                if (R < 1)
+                    R = 1;
+                tls_epoch++;
+                cp = 0;
+            }
+            while (cp + 1 < n_contigs && xi >= contig_offsets[cp + 1])
+                cp++;
+            cn = (int32_t)cp;
+            ext = xi + li;
+            if (!collapse) {
+                out_rid[n_out] = (int32_t)ri; out_x[n_out] = xi;
+                out_y[n_out] = yi; out_ln[n_out] = li;
+                out_wt[n_out] = 1; out_cn[n_out] = cn;
+                n_out++;
+                continue;
+            }
+            diag = xi - yi;
+            slot = (xi + R - yi) % R;
+            if (tls_slot_epoch[slot] == tls_epoch
+                && tls_slot_diag[slot] == diag
+                && tls_slot_cn[slot] == cn) {
+                int64_t oi = tls_slot_out[slot];
+                out_wt[oi]++;
+                if (ext > out_x[oi] + out_ln[oi])
+                    out_ln[oi] = (int32_t)(ext - out_x[oi]);
+            } else {
+                out_rid[n_out] = (int32_t)ri; out_x[n_out] = xi;
+                out_y[n_out] = yi;
+                out_ln[n_out] = li;
+                out_wt[n_out] = 1; out_cn[n_out] = cn;
+                tls_slot_epoch[slot] = tls_epoch;
+                tls_slot_diag[slot] = diag;
+                tls_slot_cn[slot] = cn;
+                tls_slot_out[slot] = n_out;
+                n_out++;
+            }
+        }
+    }
+    return n_out;
+}

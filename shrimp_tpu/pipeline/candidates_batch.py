@@ -353,6 +353,61 @@ def expand_postings(entries: list[ReadEntry], idx: GenomeIndex, st: int,
             np.concatenate(y_parts), np.concatenate(ln_parts))
 
 
+def _anchors_native(entries, idx, rid, x, y, ln, keep, st: int,
+                    collapse: bool):
+    """Fused C anchor construction: filter + stable (rid, x) sort +
+    slot-cache collapse + contig resolve in one native pass (identical
+    output to the NumPy path below; tested in test_candidates_native)."""
+    from shrimp_tpu import native
+    lib = native.load_candidates()
+    if lib is None:
+        return None
+    import ctypes
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rid_c = np.ascontiguousarray(rid, np.int32)
+    x_c = np.ascontiguousarray(x, np.int64)
+    y_c = np.ascontiguousarray(y, np.int32)
+    ln_c = np.ascontiguousarray(ln, np.int32)
+    if keep is not None:
+        keep_c = np.ascontiguousarray(keep, np.uint8)
+        n_kept = int(keep_c.sum())
+        keep_ptr = keep_c.ctypes.data_as(u8p)
+    else:
+        n_kept = len(x_c)
+        keep_ptr = ctypes.cast(None, u8p)
+    if n_kept == 0:
+        z = np.zeros(0, np.int64)
+        z32 = np.zeros(0, np.int32)
+        return AnchorBatch(z32, np.zeros(0, np.int8), z, z32, z32, z32, z32)
+    rlen = np.ascontiguousarray(
+        [e.read_len for e in entries], np.int64)
+    coffs = np.ascontiguousarray(idx.contig_offsets, np.int64)
+    out_rid = np.empty(n_kept, np.int32)
+    out_x = np.empty(n_kept, np.int64)
+    out_y = np.empty(n_kept, np.int32)
+    out_ln = np.empty(n_kept, np.int32)
+    out_wt = np.empty(n_kept, np.int32)
+    out_cn = np.empty(n_kept, np.int32)
+    n_out = lib.anchors_from_postings(
+        rid_c.ctypes.data_as(i32p), x_c.ctypes.data_as(i64p),
+        y_c.ctypes.data_as(i32p), ln_c.ctypes.data_as(i32p),
+        keep_ptr, len(x_c),
+        rlen.ctypes.data_as(i64p), int(rlen.max()),
+        coffs.ctypes.data_as(i64p), len(coffs),
+        1 if collapse else 0,
+        out_rid.ctypes.data_as(i32p), out_x.ctypes.data_as(i64p),
+        out_y.ctypes.data_as(i32p), out_ln.ctypes.data_as(i32p),
+        out_wt.ctypes.data_as(i32p), out_cn.ctypes.data_as(i32p))
+    if n_out < 0:
+        return None
+    st_col = np.full(n_out, st, np.int8)
+    return AnchorBatch(out_rid[:n_out], st_col, out_x[:n_out],
+                       out_y[:n_out], out_ln[:n_out], out_wt[:n_out],
+                       out_cn[:n_out])
+
+
 def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
                   collapse: bool = True,
                   list_cutoff: int = 0xFFFFFFFF,
@@ -368,11 +423,19 @@ def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
         postings = expand_postings(entries, idx, st, list_cutoff)
     rid, x, y, ln = postings
 
+    keep = None
     if len(x) and region_filter is not None:
         keep = region_filter(rid, x)
-        rid, x, y, ln = rid[keep], x[keep], y[keep], ln[keep]
     elif use_region_counts and len(x):
         keep = region_has2_filter(rid, x)
+
+    if len(x):
+        ab = _anchors_native(entries, idx, rid, x, y, ln, keep, st,
+                             collapse)
+        if ab is not None:
+            return ab
+
+    if keep is not None:
         rid, x, y, ln = rid[keep], x[keep], y[keep], ln[keep]
     if not len(x):
         z = np.zeros(0, np.int64)

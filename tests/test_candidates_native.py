@@ -1,0 +1,106 @@
+"""Differential fuzz: native fused anchor construction vs the NumPy path.
+
+`anchors_from_postings` (candidates_native.c) must byte-match the NumPy
+sort+collapse in candidates_batch.anchors_batch for any posting soup:
+same stable (rid, x) order, same slot-cache collapse runs
+(mapping.c:997-1013 semantics), same contig resolution.
+"""
+
+import numpy as np
+import pytest
+
+from shrimp_tpu import native
+from shrimp_tpu.pipeline import candidates_batch as cb
+
+
+class _Entry:
+    def __init__(self, read_len):
+        self.read_len = read_len
+
+
+class _IdxStub:
+    def __init__(self, coffs):
+        self.contig_offsets = coffs
+
+    def contig_of(self, pos):
+        return np.searchsorted(self.contig_offsets, pos, side="right") - 1
+
+
+def _numpy_anchors(entries, idx, rid, x, y, ln, keep, collapse):
+    """The NumPy tail of anchors_batch, extracted as the oracle."""
+    if keep is not None:
+        rid, x, y, ln = rid[keep], x[keep], y[keep], ln[keep]
+    if not len(x):
+        z32 = np.zeros(0, np.int32)
+        return (z32, np.zeros(0, np.int64), z32, z32, z32, z32)
+    order = np.argsort((rid.astype(np.int64) << 40) | x, kind="stable")
+    rid, x, y, ln = rid[order], x[order], y[order], ln[order]
+    cn = idx.contig_of(x).astype(np.int32)
+    wt = np.ones(len(x), np.int32)
+    if collapse and len(x):
+        rlen = np.array([e.read_len for e in entries], np.int64)
+        R = rlen[rid]
+        slot = (x + R - y) % R
+        diag = x - y
+        g_order = np.argsort(rid.astype(np.int64) * np.int64(R.max() + 1)
+                             + slot, kind="stable")
+        r2, s2, d2, c2 = rid[g_order], slot[g_order], diag[g_order], \
+            cn[g_order]
+        new_run = np.ones(len(x), bool)
+        if len(x) > 1:
+            same = ((r2[1:] == r2[:-1]) & (s2[1:] == s2[:-1])
+                    & (d2[1:] == d2[:-1]) & (c2[1:] == c2[:-1]))
+            new_run[1:] = ~same
+        run_id = np.cumsum(new_run) - 1
+        head_pos = np.flatnonzero(new_run)
+        x2, ln2 = x[g_order], ln[g_order]
+        run_wt = np.bincount(run_id)
+        run_ext = np.maximum.reduceat(x2 + ln2, head_pos)
+        head_idx = g_order[head_pos]
+        ln_new = ln.copy()
+        wt_new = wt.copy()
+        ln_new[head_idx] = (run_ext - x[head_idx]).astype(np.int32)
+        wt_new[head_idx] = run_wt.astype(np.int32)
+        kmask = np.zeros(len(x), bool)
+        kmask[head_idx] = True
+        rid, x, y, ln, wt, cn = (rid[kmask], x[kmask], y[kmask],
+                                 ln_new[kmask], wt_new[kmask], cn[kmask])
+    return rid, x, y, ln, wt, cn
+
+
+@pytest.mark.skipif(native.load_candidates() is None,
+                    reason="no native toolchain")
+def test_anchors_native_fuzz():
+    rng = np.random.default_rng(42)
+    for trial in range(120):
+        B = int(rng.integers(1, 12))
+        entries = [_Entry(int(rng.integers(20, 120))) for _ in range(B)]
+        n = int(rng.integers(0, 3000))
+        GL = int(rng.integers(1000, 200000))
+        ncontig = int(rng.integers(1, 8))
+        cuts = (np.sort(rng.choice(GL, ncontig - 1, replace=False))
+                if ncontig > 1 else np.array([], np.int64))
+        coffs = np.concatenate([[0], cuts]).astype(np.int64)
+        idx = _IdxStub(coffs)
+        rid = rng.integers(0, B, n).astype(np.int32)
+        x = rng.integers(0, GL, n).astype(np.int64)
+        y = (np.array([rng.integers(0, entries[r].read_len) for r in rid],
+                      np.int32) if n else np.zeros(0, np.int32))
+        ln = rng.integers(8, 14, n).astype(np.int32)
+        keep = (rng.random(n) < 0.7) if rng.random() < 0.5 else None
+        collapse = bool(rng.random() < 0.8)
+        if n > 10:          # force duplicate x values (colinear runs)
+            dup = rng.integers(0, n, n // 3)
+            half = len(dup) // 2
+            x[dup[:half]] = x[dup[half:2 * half]][:half]
+
+        nat = cb._anchors_native(entries, idx, rid, x, y, ln, keep, 0,
+                                 collapse)
+        assert nat is not None
+        ref = _numpy_anchors(entries, idx, rid, x, y, ln, keep, collapse)
+        for name, a, b in zip(
+                ("rid", "x", "y", "length", "weight", "cn"),
+                (nat.rid, nat.x, nat.y, nat.length, nat.weight, nat.cn),
+                ref):
+            np.testing.assert_array_equal(a, b, err_msg=(
+                f"trial {trial} field {name} collapse={collapse}"))
