@@ -177,6 +177,146 @@ static __thread int64_t *tls_slot_diag = 0, *tls_slot_epoch = 0,
 static __thread int32_t *tls_slot_cn = 0;
 static __thread long long tls_slot_cap = 0;
 static __thread int64_t tls_epoch = 0;
+static __thread int64_t radix_counts[65536];
+
+static int ensure_record_cap(long long n)
+{
+    if (tls_cap >= n)
+        return 0;
+    free(tls_a);
+    free(tls_b);
+    tls_cap = n + n / 4;
+    tls_a = (anch_rec *)malloc((size_t)tls_cap * sizeof(anch_rec));
+    tls_b = (anch_rec *)malloc((size_t)tls_cap * sizeof(anch_rec));
+    if (!tls_a || !tls_b) {
+        free(tls_a); free(tls_b);
+        tls_a = tls_b = 0; tls_cap = 0;
+        return -1;
+    }
+    return 0;
+}
+
+static int ensure_slot_cap(long long max_rlen)
+{
+    if (tls_slot_cap >= max_rlen)
+        return 0;
+    free(tls_slot_diag); free(tls_slot_epoch);
+    free(tls_slot_out); free(tls_slot_cn);
+    tls_slot_cap = max_rlen;
+    tls_slot_diag = (int64_t *)calloc(max_rlen, sizeof(int64_t));
+    tls_slot_epoch = (int64_t *)calloc(max_rlen, sizeof(int64_t));
+    tls_slot_out = (int64_t *)calloc(max_rlen, sizeof(int64_t));
+    tls_slot_cn = (int32_t *)calloc(max_rlen, sizeof(int32_t));
+    if (!tls_slot_diag || !tls_slot_epoch || !tls_slot_out
+        || !tls_slot_cn) {
+        free(tls_slot_diag); free(tls_slot_epoch);
+        free(tls_slot_out); free(tls_slot_cn);
+        tls_slot_diag = tls_slot_epoch = tls_slot_out = 0;
+        tls_slot_cn = 0;
+        tls_slot_cap = 0;
+        return -1;
+    }
+    tls_epoch = 0;
+    return 0;
+}
+
+/* Stable LSD radix sort of tls_a[0..m) by key (16-bit digits, pass
+ * count adapted to the key width) — matches np.argsort(kind="stable")
+ * on the same combined key.  Sorted data ends in tls_a. */
+static void radix_sort_records(long long m, uint64_t max_key)
+{
+    long long i;
+    int passes = 1, p;
+    while (passes < 4 && (max_key >> (16 * passes)) != 0)
+        passes++;
+    {
+        anch_rec *src = tls_a, *dst = tls_b, *tmp;
+        for (p = 0; p < passes; p++) {
+            int sh = 16 * p;
+            memset(radix_counts, 0, sizeof(radix_counts));
+            for (i = 0; i < m; i++)
+                radix_counts[(src[i].key >> sh) & 0xFFFF]++;
+            {
+                int64_t acc = 0, c;
+                int d;
+                for (d = 0; d < 65536; d++) {
+                    c = radix_counts[d];
+                    radix_counts[d] = acc;
+                    acc += c;
+                }
+            }
+            for (i = 0; i < m; i++)
+                dst[radix_counts[(src[i].key >> sh) & 0xFFFF]++] = src[i];
+            tmp = src; src = dst; dst = tmp;
+        }
+        if (src != tls_a)
+            memcpy(tls_a, src, (size_t)m * sizeof(anch_rec));
+    }
+}
+
+/* The slot-cache collapse walk over sorted tls_a[0..m) (semantics of
+ * the NumPy (rid, slot)-grouped run collapse and mapping.c:997-1013).
+ * Returns n_out. */
+static long long collapse_walk(
+    long long m, int shift,
+    const int64_t *rlen,
+    const int64_t *contig_offsets, long long n_contigs,
+    int collapse,
+    int32_t *out_rid, int64_t *out_x, int32_t *out_y,
+    int32_t *out_ln, int32_t *out_wt, int32_t *out_cn)
+{
+    long long i, n_out = 0;
+    int64_t cur_key_rid = -1;
+    int64_t R = 1, cp = 0;
+    uint64_t xmask = ((uint64_t)1 << shift) - 1;
+    for (i = 0; i < m; i++) {
+        int64_t xi = (int64_t)(tls_a[i].key & xmask);
+        int64_t ri = (int64_t)(tls_a[i].key >> shift);
+        int32_t yi = tls_a[i].y, li = tls_a[i].ln;
+        int64_t diag, slot, ext;
+        int32_t cn;
+        if (ri != cur_key_rid) {
+            cur_key_rid = ri;
+            R = rlen[ri];
+            if (R < 1)
+                R = 1;
+            tls_epoch++;
+            cp = 0;
+        }
+        while (cp + 1 < n_contigs && xi >= contig_offsets[cp + 1])
+            cp++;
+        cn = (int32_t)cp;
+        ext = xi + li;
+        if (!collapse) {
+            out_rid[n_out] = (int32_t)ri; out_x[n_out] = xi;
+            out_y[n_out] = yi; out_ln[n_out] = li;
+            out_wt[n_out] = 1; out_cn[n_out] = cn;
+            n_out++;
+            continue;
+        }
+        diag = xi - yi;
+        slot = (xi + R - yi) % R;
+        if (tls_slot_epoch[slot] == tls_epoch
+            && tls_slot_diag[slot] == diag
+            && tls_slot_cn[slot] == cn) {
+            int64_t oi = tls_slot_out[slot];
+            out_wt[oi]++;
+            if (ext > out_x[oi] + out_ln[oi])
+                out_ln[oi] = (int32_t)(ext - out_x[oi]);
+        } else {
+            out_rid[n_out] = (int32_t)ri; out_x[n_out] = xi;
+            out_y[n_out] = yi;
+            out_ln[n_out] = li;
+            out_wt[n_out] = 1; out_cn[n_out] = cn;
+            tls_slot_epoch[slot] = tls_epoch;
+            tls_slot_diag[slot] = diag;
+            tls_slot_cn[slot] = cn;
+            tls_slot_out[slot] = n_out;
+            n_out++;
+        }
+    }
+    return n_out;
+}
 
 long long anchors_from_postings(
     const int32_t *rid, const int64_t *x, const int32_t *y,
@@ -188,44 +328,14 @@ long long anchors_from_postings(
     int32_t *out_rid, int64_t *out_x, int32_t *out_y,
     int32_t *out_ln, int32_t *out_wt, int32_t *out_cn)
 {
-    long long i, m = 0, n_out = 0;
+    long long i, m = 0;
     uint64_t max_x = 0, max_key = 0;
-    int shift, passes, p;
-    static __thread int64_t counts[65536];
+    int shift;
 
     if (n == 0)
         return 0;
-    if (tls_cap < n) {
-        free(tls_a);
-        free(tls_b);
-        tls_cap = n + n / 4;
-        tls_a = (anch_rec *)malloc((size_t)tls_cap * sizeof(anch_rec));
-        tls_b = (anch_rec *)malloc((size_t)tls_cap * sizeof(anch_rec));
-        if (!tls_a || !tls_b) {
-            free(tls_a); free(tls_b);
-            tls_a = tls_b = 0; tls_cap = 0;
-            return -1;
-        }
-    }
-    if (tls_slot_cap < max_rlen) {
-        free(tls_slot_diag); free(tls_slot_epoch);
-        free(tls_slot_out); free(tls_slot_cn);
-        tls_slot_cap = max_rlen;
-        tls_slot_diag = (int64_t *)calloc(max_rlen, sizeof(int64_t));
-        tls_slot_epoch = (int64_t *)calloc(max_rlen, sizeof(int64_t));
-        tls_slot_out = (int64_t *)calloc(max_rlen, sizeof(int64_t));
-        tls_slot_cn = (int32_t *)calloc(max_rlen, sizeof(int32_t));
-        if (!tls_slot_diag || !tls_slot_epoch || !tls_slot_out
-            || !tls_slot_cn) {
-            free(tls_slot_diag); free(tls_slot_epoch);
-            free(tls_slot_out); free(tls_slot_cn);
-            tls_slot_diag = tls_slot_epoch = tls_slot_out = 0;
-            tls_slot_cn = 0;
-            tls_slot_cap = 0;
-            return -1;
-        }
-        tls_epoch = 0;
-    }
+    if (ensure_record_cap(n) < 0 || ensure_slot_cap(max_rlen) < 0)
+        return -1;
 
     for (i = 0; i < n; i++)
         if ((keep == 0 || keep[i]) && (uint64_t)x[i] > max_x)
@@ -246,84 +356,139 @@ long long anchors_from_postings(
     }
     if (m == 0)
         return 0;
-    passes = 1;
-    while (passes < 4 && (max_key >> (16 * passes)) != 0)
-        passes++;
+    radix_sort_records(m, max_key);
+    return collapse_walk(m, shift, rlen, contig_offsets, n_contigs,
+                         collapse, out_rid, out_x, out_y, out_ln,
+                         out_wt, out_cn);
+}
 
-    {
-        anch_rec *src = tls_a, *dst = tls_b, *tmp;
-        for (p = 0; p < passes; p++) {
-            int sh = 16 * p;
-            memset(counts, 0, sizeof(counts));
-            for (i = 0; i < m; i++)
-                counts[(src[i].key >> sh) & 0xFFFF]++;
-            {
-                int64_t acc = 0, c;
-                int d;
-                for (d = 0; d < 65536; d++) {
-                    c = counts[d];
-                    counts[d] = acc;
-                    acc += c;
-                }
-            }
-            for (i = 0; i < m; i++)
-                dst[counts[(src[i].key >> sh) & 0xFFFF]++] = src[i];
-            tmp = src; src = dst; dst = tmp;
+/* ------------------------------------------------------------------ *
+ * Fully fused L3: CSR posting-list expansion + has-2 region-count
+ * pruning + stable (rid, x) sort + slot-cache collapse in one call —
+ * the whole of read_get_region_counts + read_get_anchor_list_per_strand
+ * (mapping.c:475-1015) without materializing any intermediate arrays
+ * on the Python side.
+ *
+ * Region pruning (region_has2_filter semantics, exactly): each entry
+ * visits its region (x >> region_bits), and also the previous region
+ * when x lies within region_overlap of the region start; an entry
+ * survives iff its own region has >= 2 visits, or (near the start,
+ * reg > 0) the previous region has >= 2 visits.  Because records are
+ * sorted by (rid, x) BEFORE filtering, visit counts reduce to a linear
+ * group scan: count(reg) = n(reg) + p(reg+1), where n is the group
+ * size and p the group's near-start prefix length — no (read, region)
+ * table, no random memory traffic (the table walk was the hot spot).
+ *
+ * Lists are described per (read, kmer, seed):
+ *   fl[i]      posting count (0 after list_cutoff truncation)
+ *   base[i]    CSR start offset into positions[seedno[i]]
+ *   rows[i]    read id
+ *   kcols[i]   kmer column (y = kcols + minpos[row])
+ *   spans[i]   seed span (anchor length)
+ * Returns n_out or -1 on alloc failure.
+ */
+
+typedef struct {
+    uint64_t gkey;                  /* key >> region_bits: (rid, reg) */
+    int32_t n;                      /* entries in group */
+    int32_t p;                      /* near-start prefix length */
+} reg_group;
+
+long long anchors_from_csr(
+    const int64_t *fl, const int64_t *base, const int32_t *rows,
+    const int32_t *kcols, const int32_t *spans, const int32_t *seedno,
+    long long n_lists, long long total,
+    const int64_t *minpos,
+    const uint32_t **positions,
+    int use_region, int region_bits, int region_overlap,
+    const int64_t *rlen, long long max_rlen,
+    const int64_t *contig_offsets, long long n_contigs,
+    int collapse, int shift,
+    int32_t *out_rid, int64_t *out_x, int32_t *out_y,
+    int32_t *out_ln, int32_t *out_wt, int32_t *out_cn)
+{
+    long long i, m = 0;
+    uint64_t max_key = 0;
+    int64_t rmask = ((int64_t)1 << region_bits) - 1;
+    uint64_t xmask = ((uint64_t)1 << shift) - 1;
+
+    if (total == 0)
+        return 0;
+    if (ensure_record_cap(total) < 0 || ensure_slot_cap(max_rlen) < 0)
+        return -1;
+
+    /* pass 1: expand */
+    for (i = 0; i < n_lists; i++) {
+        int64_t j, L = fl[i], b = base[i];
+        const uint32_t *pos = positions[seedno[i]];
+        int32_t r = rows[i];
+        int32_t y = (int32_t)(kcols[i] + minpos[r]);
+        int32_t ln = spans[i];
+        uint64_t rk = (uint64_t)(uint32_t)r << shift;
+        for (j = 0; j < L; j++) {
+            uint64_t key = rk | (uint64_t)pos[b + j];
+            tls_a[m].key = key;
+            tls_a[m].y = y;
+            tls_a[m].ln = ln;
+            if (key > max_key)
+                max_key = key;
+            m++;
         }
-        if (src != tls_a)
-            memcpy(tls_a, src, (size_t)m * sizeof(anch_rec));
     }
 
-    {
-        int64_t cur_key_rid = -1;
-        int64_t R = 1, cp = 0;
-        uint64_t xmask = ((uint64_t)1 << shift) - 1;
+    radix_sort_records(m, max_key);
+
+    if (use_region && m > 0) {
+        /* group scan over sorted records; tls_b is free after the sort
+         * and holds the per-(rid, region) group table */
+        reg_group *grp = (reg_group *)tls_b;
+        long long ng = 0, w = 0, g = 0;
+        uint64_t ridshift = (uint64_t)(shift - region_bits);
         for (i = 0; i < m; i++) {
-            int64_t xi = (int64_t)(tls_a[i].key & xmask);
-            int64_t ri = (int64_t)(tls_a[i].key >> shift);
-            int32_t yi = tls_a[i].y, li = tls_a[i].ln;
-            int64_t diag, slot, ext;
-            int32_t cn;
-            if (ri != cur_key_rid) {
-                cur_key_rid = ri;
-                R = rlen[ri];
-                if (R < 1)
-                    R = 1;
-                tls_epoch++;
-                cp = 0;
+            uint64_t gkey = tls_a[i].key >> region_bits;
+            if (ng == 0 || grp[ng - 1].gkey != gkey) {
+                grp[ng].gkey = gkey;
+                grp[ng].n = 0;
+                grp[ng].p = 0;
+                ng++;
             }
-            while (cp + 1 < n_contigs && xi >= contig_offsets[cp + 1])
-                cp++;
-            cn = (int32_t)cp;
-            ext = xi + li;
-            if (!collapse) {
-                out_rid[n_out] = (int32_t)ri; out_x[n_out] = xi;
-                out_y[n_out] = yi; out_ln[n_out] = li;
-                out_wt[n_out] = 1; out_cn[n_out] = cn;
-                n_out++;
-                continue;
-            }
-            diag = xi - yi;
-            slot = (xi + R - yi) % R;
-            if (tls_slot_epoch[slot] == tls_epoch
-                && tls_slot_diag[slot] == diag
-                && tls_slot_cn[slot] == cn) {
-                int64_t oi = tls_slot_out[slot];
-                out_wt[oi]++;
-                if (ext > out_x[oi] + out_ln[oi])
-                    out_ln[oi] = (int32_t)(ext - out_x[oi]);
-            } else {
-                out_rid[n_out] = (int32_t)ri; out_x[n_out] = xi;
-                out_y[n_out] = yi;
-                out_ln[n_out] = li;
-                out_wt[n_out] = 1; out_cn[n_out] = cn;
-                tls_slot_epoch[slot] = tls_epoch;
-                tls_slot_diag[slot] = diag;
-                tls_slot_cn[slot] = cn;
-                tls_slot_out[slot] = n_out;
-                n_out++;
-            }
+            grp[ng - 1].n++;
+            if (((int64_t)(tls_a[i].key & xmask) & rmask) < region_overlap
+                && grp[ng - 1].p == grp[ng - 1].n - 1)
+                grp[ng - 1].p++;
         }
+        /* compact survivors (order preserved) */
+        for (i = 0; i < m; i++) {
+            uint64_t gkey = tls_a[i].key >> region_bits;
+            int64_t x, off, reg;
+            int64_t cnt, keepit;
+            while (grp[g].gkey != gkey)
+                g++;
+            x = (int64_t)(tls_a[i].key & xmask);
+            off = x & rmask;
+            reg = x >> region_bits;
+            cnt = grp[g].n;
+            if (g + 1 < ng && grp[g + 1].gkey == gkey + 1
+                && (grp[g + 1].gkey >> ridshift) == (gkey >> ridshift))
+                cnt += grp[g + 1].p;
+            keepit = cnt >= 2;
+            if (!keepit && off < region_overlap && reg > 0) {
+                /* count for reg - 1: its own entries + this group's
+                 * near-start prefix (which also visits reg - 1) */
+                int64_t pcnt = grp[g].p;
+                if (g > 0 && grp[g - 1].gkey == gkey - 1
+                    && (grp[g - 1].gkey >> ridshift) == (gkey >> ridshift))
+                    pcnt += grp[g - 1].n;
+                keepit = pcnt >= 2;
+            }
+            if (keepit)
+                tls_a[w++] = tls_a[i];
+        }
+        m = w;
     }
-    return n_out;
+    if (m == 0)
+        return 0;
+    return collapse_walk(m, shift, rlen, contig_offsets, n_contigs,
+                         collapse, out_rid, out_x, out_y, out_ln,
+                         out_wt, out_cn);
 }

@@ -275,37 +275,51 @@ def region_mp_filter(rid: np.ndarray, x: np.ndarray, own, mate,
     return keep
 
 
-def expand_postings(entries: list[ReadEntry], idx: GenomeIndex, st: int,
-                    list_cutoff: int = 0xFFFFFFFF):
-    """Raw posting-list expansion for one strand: returns (rid, x, y, ln)
-    flat arrays across all seeds (unsorted)."""
+def _expansion_lists(entries: list[ReadEntry], idx: GenomeIndex, st: int,
+                     list_cutoff: int = 0xFFFFFFFF):
+    """Per-seed CSR list metadata for one strand (the shared front half
+    of posting expansion): a list of per-seed tuples
+    (fl, base, rows, kcols, span) covering every non-empty posting list
+    after list_cutoff truncation, in (seed, read, kmer) order."""
     mapidxs = mapidx_batch(entries, idx, st)
     B = len(entries)
-    rid_parts, x_parts, y_parts, ln_parts = [], [], [], []
+    out = []
     for sn, seed in enumerate(idx.seed_set.seeds):
         mi = mapidxs[sn]                       # [B, K]
         if mi.size == 0:
             continue
         off = idx.offsets[sn]
-        pos = idx.positions[sn]
         valid = mi != 0xFFFFFFFF
         mi_safe = np.where(valid, mi, 0)
         lo = off[mi_safe]
         hi = off[mi_safe + 1]
         lens = np.where(valid, hi - lo, 0)
         lens = np.where(lens > list_cutoff, 0, lens)
-        total = int(lens.sum())
-        if total == 0:
+        if int(lens.sum()) == 0:
             continue
         flat_lens = lens.ravel()
         nz = flat_lens > 0
         fl = flat_lens[nz].astype(np.int64)
         base = lo.ravel()[nz].astype(np.int64)
-        minpos = np.array([e.min_kmer_pos for e in entries], np.int64)
-        all_rows = np.broadcast_to(np.arange(B)[:, None],
-                                   lens.shape).ravel()[nz]
-        all_kcols = np.broadcast_to(
+        rows = np.broadcast_to(np.arange(B)[:, None],
+                               lens.shape).ravel()[nz]
+        kcols = np.broadcast_to(
             np.arange(lens.shape[1])[None, :], lens.shape).ravel()[nz]
+        out.append((sn, fl, base, rows, kcols, seed.span))
+    return out
+
+
+def expand_postings(entries: list[ReadEntry], idx: GenomeIndex, st: int,
+                    list_cutoff: int = 0xFFFFFFFF):
+    """Raw posting-list expansion for one strand: returns (rid, x, y, ln)
+    flat arrays across all seeds (unsorted)."""
+    rid_parts, x_parts, y_parts, ln_parts = [], [], [], []
+    minpos = np.array([e.min_kmer_pos for e in entries], np.int64)
+    for sn, fl0, base, all_rows, all_kcols, span in \
+            _expansion_lists(entries, idx, st, list_cutoff):
+        pos = idx.positions[sn]
+        fl = fl0
+        total = int(fl.sum())
         from shrimp_tpu import native
         lib = native.load_candidates()
         if lib is not None and pos.dtype == np.uint32:
@@ -343,7 +357,7 @@ def expand_postings(entries: list[ReadEntry], idx: GenomeIndex, st: int,
             rid_parts.append(rows.astype(np.int32))
             y_parts.append((np.repeat(all_kcols, fl)
                             + minpos[rows]).astype(np.int32))
-        ln_parts.append(np.full(total, seed.span, np.int32))
+        ln_parts.append(np.full(total, span, np.int32))
 
     if not x_parts:
         z = np.zeros(0, np.int64)
@@ -351,6 +365,93 @@ def expand_postings(entries: list[ReadEntry], idx: GenomeIndex, st: int,
         return (z32, z, z32.copy(), z32.copy())
     return (np.concatenate(rid_parts), np.concatenate(x_parts),
             np.concatenate(y_parts), np.concatenate(ln_parts))
+
+
+def _get_region_table(tbl_sz: int) -> np.ndarray:
+    global _REGION_TABLE
+    if _REGION_TABLE is None or len(_REGION_TABLE) < tbl_sz:
+        _REGION_TABLE = np.zeros(max(tbl_sz, 1 << 20), np.uint8)
+    return _REGION_TABLE
+
+
+def _anchors_fused(entries, idx, st: int, collapse: bool,
+                   list_cutoff: int, use_region_counts: bool):
+    """Fully fused native L3: CSR expansion + has-2 region pruning +
+    sort + collapse in one C call (anchors_from_csr) — no intermediate
+    posting arrays are materialized at all.  Returns AnchorBatch or None
+    when the native path is unavailable for these inputs."""
+    from shrimp_tpu import native
+    lib = native.load_candidates()
+    if lib is None:
+        return None
+    if any(p.dtype != np.uint32 for p in idx.positions):
+        return None
+    n_reads = len(entries)
+    total_len = int(idx.total_len)
+    # shift must clear REGION_BITS so the group key (rid, region) of the
+    # sorted-scan pruning never mixes rid bits into the region field
+    shift = max(REGION_BITS + 1, (max(total_len - 1, 1)).bit_length())
+    if shift + max(1, n_reads.bit_length()) > 62:
+        return None
+
+    lists = _expansion_lists(entries, idx, st, list_cutoff)
+    empty64 = np.zeros(0, np.int64)
+    empty32 = np.zeros(0, np.int32)
+    if not lists:
+        return AnchorBatch(empty32, np.zeros(0, np.int8), empty64,
+                           empty32, empty32.copy(), empty32.copy(),
+                           empty32.copy())
+    import ctypes
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    fl = np.ascontiguousarray(np.concatenate([t[1] for t in lists]))
+    base = np.ascontiguousarray(np.concatenate([t[2] for t in lists]))
+    rows = np.ascontiguousarray(
+        np.concatenate([t[3] for t in lists]), np.int32)
+    kcols = np.ascontiguousarray(
+        np.concatenate([t[4] for t in lists]), np.int32)
+    spans = np.ascontiguousarray(np.concatenate(
+        [np.full(len(t[1]), t[5], np.int32) for t in lists]))
+    seedno = np.ascontiguousarray(np.concatenate(
+        [np.full(len(t[1]), t[0], np.int32) for t in lists]))
+    total = int(fl.sum())
+    if total == 0:
+        return AnchorBatch(empty32, np.zeros(0, np.int8), empty64,
+                           empty32, empty32.copy(), empty32.copy(),
+                           empty32.copy())
+    minpos = np.ascontiguousarray(
+        [e.min_kmer_pos for e in entries], np.int64)
+    rlen = np.ascontiguousarray(
+        [e.read_len for e in entries], np.int64)
+    coffs = np.ascontiguousarray(idx.contig_offsets, np.int64)
+    pos_ptrs = (u32p * len(idx.positions))(
+        *[p.ctypes.data_as(u32p) for p in idx.positions])
+    out_rid = np.empty(total, np.int32)
+    out_x = np.empty(total, np.int64)
+    out_y = np.empty(total, np.int32)
+    out_ln = np.empty(total, np.int32)
+    out_wt = np.empty(total, np.int32)
+    out_cn = np.empty(total, np.int32)
+    n_out = lib.anchors_from_csr(
+        fl.ctypes.data_as(i64p), base.ctypes.data_as(i64p),
+        rows.ctypes.data_as(i32p), kcols.ctypes.data_as(i32p),
+        spans.ctypes.data_as(i32p), seedno.ctypes.data_as(i32p),
+        len(fl), total,
+        minpos.ctypes.data_as(i64p), pos_ptrs,
+        1 if use_region_counts else 0, REGION_BITS, REGION_OVERLAP,
+        rlen.ctypes.data_as(i64p), int(rlen.max()),
+        coffs.ctypes.data_as(i64p), len(coffs),
+        1 if collapse else 0, shift,
+        out_rid.ctypes.data_as(i32p), out_x.ctypes.data_as(i64p),
+        out_y.ctypes.data_as(i32p), out_ln.ctypes.data_as(i32p),
+        out_wt.ctypes.data_as(i32p), out_cn.ctypes.data_as(i32p))
+    if n_out < 0:
+        return None
+    st_col = np.full(n_out, st, np.int8)
+    return AnchorBatch(out_rid[:n_out], st_col, out_x[:n_out],
+                       out_y[:n_out], out_ln[:n_out], out_wt[:n_out],
+                       out_cn[:n_out])
 
 
 def _anchors_native(entries, idx, rid, x, y, ln, keep, st: int,
@@ -419,6 +520,11 @@ def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
     postings: precomputed `expand_postings` result (avoids re-expansion);
     region_filter: keep-mask callable(rid, x) overriding the default has-2
     region filter (used for mate-pair region counts)."""
+    if postings is None and region_filter is None:
+        ab = _anchors_fused(entries, idx, st, collapse, list_cutoff,
+                            use_region_counts)
+        if ab is not None:
+            return ab
     if postings is None:
         postings = expand_postings(entries, idx, st, list_cutoff)
     rid, x, y, ln = postings

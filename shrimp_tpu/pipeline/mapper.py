@@ -618,19 +618,16 @@ class Mapper:
             for st in (0, 1):
                 if not (self.cfg.strand_mask >> st) & 1:
                     continue
-                region_filter = None
-                if opts.anchor_list.use_region_counts:
-                    def region_filter(rid, x):
-                        with self.tel.stage("region_counts"):
-                            return cb.region_has2_filter(rid, x)
+                # region_counts ride inside the fused native anchor
+                # construction (anchors_from_csr) when available, so they
+                # are accounted under the anchor_list stage timer
                 with self.tel.stage("anchor_list"):
                     ab = cb.anchors_batch(
                         entries, self.index, st,
                         collapse=opts.anchor_list.collapse,
                         list_cutoff=self.index.list_cutoff,
                         use_region_counts=opts.anchor_list
-                        .use_region_counts,
-                        region_filter=region_filter)
+                        .use_region_counts)
                 with self.tel.stage("hit_list"):
                     parts.append(cb.hit_list_batch(entries, self.index, ab,
                                                    opts.hit_list, self.cfg))

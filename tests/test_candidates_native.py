@@ -70,6 +70,58 @@ def _numpy_anchors(entries, idx, rid, x, y, ln, keep, collapse):
 
 @pytest.mark.skipif(native.load_candidates() is None,
                     reason="no native toolchain")
+def test_anchors_fused_vs_numpy_real_index():
+    """anchors_batch fused C path vs the pure-NumPy path on real indexes
+    (exercises CSR expansion, has-2 region pruning via the sorted group
+    scan, multi-contig resolve, and the tiny-genome shift clamp)."""
+    from shrimp_tpu import index as gindex, seeds as seedmod, dna
+    from shrimp_tpu.io import fastx
+    from shrimp_tpu.pipeline import candidates as cand
+    from shrimp_tpu.pipeline.options import MapperConfig
+
+    rng = np.random.default_rng(3)
+    cfg = MapperConfig()
+    for trial in range(6):
+        n_contig = int(rng.integers(1, 6))
+        contigs = [fastx.Contig(name=f"c{i}",
+                                codes=rng.integers(
+                                    0, 4, int(rng.integers(300, 4000)))
+                                .astype(np.int8))
+                   for i in range(n_contig)]
+        idx = gindex.build_index(contigs, seedmod.make_seed_set(None))
+        genome = idx.genome
+        reads = []
+        for i in range(24):
+            p = int(rng.integers(0, len(genome) - 40))
+            r = genome[p:p + 36].copy()
+            mut = rng.random(36) < 0.05
+            r[mut] = (r[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+            reads.append((f"r{i}", dna.decode(r), None))
+        entries = cand.prepare_reads(reads, cfg, idx.seed_set.min_span)
+        for st in (0, 1):
+            for use_rc in (False, True):
+                for collapse in (True, False):
+                    fused = cb._anchors_fused(entries, idx, st, collapse,
+                                              idx.list_cutoff, use_rc)
+                    assert fused is not None
+                    postings = cb.expand_postings(entries, idx, st,
+                                                  idx.list_cutoff)
+                    rid, x, y, ln = postings
+                    keep = (cb.region_has2_filter(rid, x)
+                            if use_rc and len(x) else None)
+                    ref = _numpy_anchors(entries, idx, rid, x, y, ln,
+                                         keep, collapse)
+                    for name, a, b in zip(
+                            ("rid", "x", "y", "length", "weight", "cn"),
+                            (fused.rid, fused.x, fused.y, fused.length,
+                             fused.weight, fused.cn), ref):
+                        np.testing.assert_array_equal(a, b, err_msg=(
+                            f"trial {trial} st {st} rc {use_rc} "
+                            f"collapse {collapse} field {name}"))
+
+
+@pytest.mark.skipif(native.load_candidates() is None,
+                    reason="no native toolchain")
 def test_anchors_native_fuzz():
     rng = np.random.default_rng(42)
     for trial in range(120):
