@@ -1,0 +1,42 @@
+"""In-process gmapper CLI runner for tests.
+
+Each subprocess `python -m shrimp_tpu.gmapper` invocation pays the JAX
+import (~3s) plus compile-cache loading; across the suite's dozens of CLI
+tests that is most of the wall time.  Running `gmapper.main` in-process
+reuses the warm JAX runtime and jitted kernels.  The true subprocess
+surface stays covered by test_cli.py::test_cli_subprocess_smoke.
+
+Returns an object shaped like subprocess.CompletedProcess (returncode /
+stdout / stderr), so call sites swap in without changes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+from types import SimpleNamespace
+
+
+def run_gmapper(args, cwd: str | None = None, **_ignored):
+    """Run the gmapper CLI in-process; mirrors
+    subprocess.run([python, -m, shrimp_tpu.gmapper] + args,
+    capture_output=True, text=True)."""
+    from shrimp_tpu import gmapper
+
+    so, se = io.StringIO(), io.StringIO()
+    prev = os.getcwd()
+    if cwd:
+        os.chdir(cwd)
+    try:
+        with contextlib.redirect_stdout(so), contextlib.redirect_stderr(se):
+            try:
+                rc = gmapper.main(["gmapper"] + list(args))
+            except SystemExit as e:
+                rc = e.code if isinstance(e.code, int) else (
+                    0 if e.code is None else 1)
+    finally:
+        if cwd:
+            os.chdir(prev)
+    return SimpleNamespace(returncode=rc, stdout=so.getvalue(),
+                           stderr=se.getvalue())

@@ -9,11 +9,24 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 
 def run_cli(args, **kw):
+    from cli_helper import run_gmapper
+    return run_gmapper(args,
+                       cwd=os.path.dirname(os.path.dirname(__file__)), **kw)
+
+
+def test_cli_subprocess_smoke():
+    """The one true-subprocess CLI test: the module entry point, import
+    side effects, and exit code survive outside the test process (all
+    other CLI tests run in-process for speed — see cli_helper.py)."""
     env = dict(os.environ)
-    return subprocess.run(
-        [sys.executable, "-m", "shrimp_tpu.gmapper"] + args,
-        capture_output=True, text=True, env=env,
-        cwd=os.path.dirname(os.path.dirname(__file__)), **kw)
+    r = subprocess.run(
+        [sys.executable, "-m", "shrimp_tpu.gmapper", "-Q",
+         os.path.join(GOLDEN, "golden_reads.fq"),
+         os.path.join(GOLDEN, "golden_genome.fa")],
+        capture_output=True, text=True, env=env, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert body(r.stdout) == golden_body("golden_unpaired.sam")
 
 
 def body(sam_text):

@@ -46,10 +46,9 @@ def make_corpus(tmp):
 
 def test_draft_genome_paired(tmp_path):
     gpath, rpath = make_corpus(str(tmp_path))
-    r = subprocess.run(
-        [sys.executable, "-m", "shrimp_tpu.gmapper", "-Q",
-         "-p", "opp-in", "-I", "0,500", rpath, gpath],
-        capture_output=True, text=True, cwd=ROOT)
+    from cli_helper import run_gmapper
+    r = run_gmapper(["-Q", "-p", "opp-in", "-I", "0,500", rpath, gpath],
+                    cwd=ROOT)
     assert r.returncode == 0, r.stderr[-2000:]
     got = [l for l in r.stdout.splitlines() if not l.startswith("@")]
     with open(os.path.join(GOLDEN, "golden_draft_paired.sam")) as fh:

@@ -55,12 +55,11 @@ def test_bfast_quals():
     """gmapper-cs -Q -B parity (bfast-style colour-quality blending)."""
     import subprocess
     import sys
-    r = subprocess.run(
-        [sys.executable, "-m", "shrimp_tpu.gmapper", "--mode", "cs", "-Q",
-         "--bfast", os.path.join(GOLDEN, "mini_reads_cs.fq"),
-         os.path.join(GOLDEN, "golden_genome.fa")],
-        capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.dirname(__file__)))
+    from cli_helper import run_gmapper
+    r = run_gmapper(["--mode", "cs", "-Q", "--bfast",
+                     os.path.join(GOLDEN, "mini_reads_cs.fq"),
+                     os.path.join(GOLDEN, "golden_genome.fa")],
+                    cwd=os.path.dirname(os.path.dirname(__file__)))
     assert r.returncode == 0, r.stderr
     mine = [l for l in r.stdout.splitlines() if not l.startswith("@")]
     with open(os.path.join(GOLDEN, "golden_cs_bfast.sam")) as fh:

@@ -57,9 +57,8 @@ def _g(name):
 def _cli_golden(args, golden_name):
     import subprocess
     import sys
-    out = subprocess.run(
-        [sys.executable, "-m", "shrimp_tpu.gmapper"] + args,
-        capture_output=True, text=True, timeout=1700, cwd="/root/repo")
+    from cli_helper import run_gmapper
+    out = run_gmapper(args, cwd="/root/repo")
     assert out.returncode == 0, out.stderr[-2000:]
     want = golden_body(golden_name)
     got = [ln for ln in out.stdout.splitlines() if not ln.startswith("@")]

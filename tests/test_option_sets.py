@@ -11,9 +11,8 @@ DEFAULTS = ("0;true/true,true,true/true,false,2,55%/true,50%,90%,2,false,30"
 
 
 def run_cli(args):
-    return subprocess.run(
-        [sys.executable, "-m", "shrimp_tpu.gmapper"] + args,
-        capture_output=True, text=True, cwd=ROOT)
+    from cli_helper import run_gmapper
+    return run_gmapper(args, cwd=ROOT)
 
 
 def body(stdout):

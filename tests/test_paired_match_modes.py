@@ -28,11 +28,11 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
     (["-n", "3", "--no-half-paired"], "golden_paired_n3nhp.sam"),
 ], ids=["n2", "n3", "nhp", "n3-nhp"])
 def test_paired_match_modes(extra, golden):
-    out = subprocess.run(
-        [sys.executable, "-m", "shrimp_tpu.gmapper", "-Q", "-p", "opp-in",
-         os.path.join(GOLDEN, "golden_pairs.fq"),
-         os.path.join(GOLDEN, "golden_genome.fa"), "-N", "1"] + extra,
-        capture_output=True, text=True, timeout=1700, cwd="/root/repo")
+    from cli_helper import run_gmapper
+    out = run_gmapper(["-Q", "-p", "opp-in",
+                       os.path.join(GOLDEN, "golden_pairs.fq"),
+                       os.path.join(GOLDEN, "golden_genome.fa"),
+                       "-N", "1"] + extra, cwd="/root/repo")
     assert out.returncode == 0, out.stderr[-2000:]
     with open(os.path.join(GOLDEN, golden)) as f:
         want = [ln for ln in f.read().splitlines()

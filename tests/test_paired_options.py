@@ -51,9 +51,8 @@ CS2 = ("opp-in,0,1200,30,47.0,10,40.0,0,50.0,0,1;"
 
 
 def _run_and_compare(args, golden_name):
-    out = subprocess.run(
-        [sys.executable, "-m", "shrimp_tpu.gmapper"] + args,
-        capture_output=True, text=True, timeout=1700, cwd="/root/repo")
+    from cli_helper import run_gmapper
+    out = run_gmapper(args, cwd="/root/repo")
     assert out.returncode == 0, out.stderr[-2000:]
     with open(os.path.join(GOLDEN, golden_name)) as f:
         want = [ln for ln in f.read().splitlines()

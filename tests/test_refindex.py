@@ -53,10 +53,9 @@ def test_write_round_trip(tmp_path):
 def test_cli_maps_from_reference_projection():
     """gmapper -L <reference projection> maps byte-identically to mapping
     from the FASTA-built index (VERDICT round-trip criterion)."""
-    r = subprocess.run(
-        [sys.executable, "-m", "shrimp_tpu.gmapper", "-L", PREFIX, "-Q",
-         os.path.join(GOLDEN, "golden_reads.fq")],
-        capture_output=True, text=True, cwd=ROOT)
+    from cli_helper import run_gmapper
+    r = run_gmapper(["-L", PREFIX, "-Q",
+                     os.path.join(GOLDEN, "golden_reads.fq")], cwd=ROOT)
     assert r.returncode == 0, r.stderr
     got = [l for l in r.stdout.splitlines() if not l.startswith("@")]
     with open(os.path.join(GOLDEN, "golden_unpaired.sam")) as fh:

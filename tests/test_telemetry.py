@@ -17,9 +17,8 @@ ROOT = os.path.dirname(os.path.dirname(__file__))
 
 
 def run_cli(args):
-    return subprocess.run(
-        [sys.executable, "-m", "shrimp_tpu.gmapper"] + args,
-        capture_output=True, text=True, cwd=ROOT)
+    from cli_helper import run_gmapper
+    return run_gmapper(args, cwd=ROOT)
 
 
 TIMING = re.compile(
