@@ -220,3 +220,33 @@ def sw_score_numpy(genome, read, params: SWParams = SWParams(),
             H[i][j] = max(0, H[i - 1][j - 1] + ms, A[i][j], Bm[i][j])
             best = max(best, H[i][j])
     return int(best)
+
+
+# ---------------------------------------------------------------------------
+# Engine dispatch: the three bit-identical pass-1 formulations.  The mapper
+# auto-tunes the choice at its first production-shape batch (TPU only; see
+# pipeline/mapper.py) the way the reference picks its SSE2 path once per
+# run (sw_vector_setup, sw-vector.c:389).
+PASS1_ENGINES = ("scan", "rows", "pallas")
+
+
+def sw_score_engine(genome, read, params: SWParams = SWParams(),
+                    genome_row0=None, engine: str = "scan",
+                    interpret: bool | None = None):
+    """Dispatch one pass-1 vector-SW scoring call to the named engine.
+
+    All engines return identical int32 [B] scores; `engine` only selects
+    the formulation ("scan" anti-diagonal wavefront, "rows" row-scan,
+    "pallas" VMEM kernel).  `interpret` applies to the Pallas engine only;
+    None = interpret automatically off TPU (CPU/test platforms)."""
+    if engine == "rows":
+        return sw_score_batch_rows(genome, read, params,
+                                   genome_row0=genome_row0)
+    if engine == "pallas":
+        from shrimp_tpu.ops.sw_vector_pallas import sw_score_batch_pallas
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        return sw_score_batch_pallas(genome, read, params,
+                                     genome_row0=genome_row0,
+                                     interpret=interpret)
+    return sw_score_batch(genome, read, params, genome_row0=genome_row0)

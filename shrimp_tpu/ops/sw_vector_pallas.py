@@ -6,8 +6,8 @@ VMEM kernel: the batch tiles over the sublane axis, genome positions live
 in the 128-wide lane axis, and the within-row affine A-gap recurrence is
 a tilted Hillis-Steele max-scan (log2(G) shift-max steps on the VPU).
 
-Scores are bit-identical to `sw_score_batch` / `sw_score_batch_rows`
-(letter space; the colour-space row-0 plane stays on the lax.scan kernel).
+Scores are bit-identical to `sw_score_batch` / `sw_score_batch_rows`,
+including the colour-space row-0 genome plane (`genome_row0`).
 Set `interpret=True` to run on CPU (tests/conftest's virtual platform).
 
 Reference contract: `common/sw-vector.c:68-220` — local affine-gap
@@ -42,7 +42,7 @@ def _shift_right(x: jax.Array, s: int, fill: int) -> jax.Array:
     return jnp.where(jj < s, jnp.int32(fill), rolled)
 
 
-def _make_kernel(R: int, Gp: int, params: SWParams):
+def _make_kernel(R: int, Gp: int, params: SWParams, has_row0: bool = False):
     # python ints fold into the kernel as literals (traced jnp scalars
     # would be captured constants, which pallas_call rejects)
     m = int(params.match)
@@ -54,7 +54,12 @@ def _make_kernel(R: int, Gp: int, params: SWParams):
 
     n_scan = max(Gp - 1, 1).bit_length()     # Hillis-Steele steps
 
-    def kernel(g_ref, r_ref, o_ref):
+    def kernel(g_ref, r_ref, *rest):
+        if has_row0:
+            g0_ref, o_ref = rest
+            g0 = g0_ref[:]                    # [TB, Gp] row-0 plane (CS)
+        else:
+            (o_ref,) = rest
         g = g_ref[:]                          # [TB, Gp]
         r = r_ref[:]                          # [TB, Rp]
         tilt = ae * jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
@@ -67,7 +72,8 @@ def _make_kernel(R: int, Gp: int, params: SWParams):
         best = jnp.zeros(g.shape, jnp.int32)
         for i in range(R):
             rc = r[:, i:i + 1]                # [TB, 1] read char
-            ms = jnp.where(g == rc, m, x_)
+            gplane = g0 if (has_row0 and i == 0) else g
+            ms = jnp.where(gplane == rc, m, x_)
             Hdiag = _shift_right(H, 1, 0) + ms
             Bg_n = jnp.maximum(H - boe, Bg - be)
             H0 = jnp.maximum(jnp.maximum(Hdiag, 0), Bg_n)
@@ -91,11 +97,14 @@ def _make_kernel(R: int, Gp: int, params: SWParams):
 @functools.partial(jax.jit, static_argnames=("params", "interpret"))
 def sw_score_batch_pallas(genome: jax.Array, read: jax.Array,
                           params: SWParams = SWParams(),
+                          genome_row0: jax.Array | None = None,
                           interpret: bool = False) -> jax.Array:
-    """Local affine SW scores, Pallas edition (letter space).
+    """Local affine SW scores, Pallas edition.
 
     genome: int8/int32 [B, G] (pad GENOME_PAD); read: int8/int32 [B, R]
-    (pad READ_PAD).  Returns int32 [B]."""
+    (pad READ_PAD).  genome_row0 (optional [B, G]) is the colour-space
+    row-0 plane (`sw-vector.c:111-147`): read row 0 matches against it
+    instead of `genome`.  Returns int32 [B]."""
     genome = genome.astype(jnp.int32)
     read = read.astype(jnp.int32)
     B, G = genome.shape
@@ -107,20 +116,27 @@ def sw_score_batch_pallas(genome: jax.Array, read: jax.Array,
                      constant_values=GENOME_PAD)
     read = jnp.pad(read, ((0, Bp - B), (0, Rp - R)),
                    constant_values=READ_PAD)
+    operands = [genome, read]
+    if genome_row0 is not None:
+        operands.append(jnp.pad(genome_row0.astype(jnp.int32),
+                                ((0, Bp - B), (0, Gp - G)),
+                                constant_values=GENOME_PAD))
 
-    kernel = _make_kernel(R, Gp, params)
+    kernel = _make_kernel(R, Gp, params, has_row0=genome_row0 is not None)
+    gspec = pl.BlockSpec((_TB, Gp), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [gspec,
+                pl.BlockSpec((_TB, Rp), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM)]
+    if genome_row0 is not None:
+        in_specs.append(gspec)
     out = pl.pallas_call(
         kernel,
         grid=(Bp // _TB,),
-        in_specs=[
-            pl.BlockSpec((_TB, Gp), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, Rp), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((_TB, _LANE), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, _LANE), jnp.int32),
         interpret=interpret,
-    )(genome, read)
+    )(*operands)
     return out[:B, 0]

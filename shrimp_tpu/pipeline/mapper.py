@@ -42,13 +42,15 @@ import functools as _functools
 
 
 @_functools.partial(__import__("jax").jit,
-                    static_argnames=("G", "params"))
-def _gather_score_ls(genome_dev, lo, wlen, rid, st, reads2, G, params):
+                    static_argnames=("G", "params", "engine"))
+def _gather_score_ls(genome_dev, lo, wlen, rid, st, reads2, G, params,
+                     engine="scan"):
     """Fused on-device window gather + pass-1 vector SW (LS).
 
     genome_dev int8 [L] resident plane; lo int32 [N] absolute window
     starts; wlen int32 [N]; rid/st int32 [N] select each window's read
-    row from reads2 int8 [B, 2, R]."""
+    row from reads2 int8 [B, 2, R].  `engine` picks the (bit-identical)
+    scoring formulation — see sw_vector.sw_score_engine."""
     import jax.numpy as jnp
     cols = jnp.arange(G, dtype=jnp.int32)
     idx = jnp.minimum(lo[:, None] + cols[None, :],
@@ -57,7 +59,7 @@ def _gather_score_ls(genome_dev, lo, wlen, rid, st, reads2, G, params):
     win = jnp.where(cols[None, :] < wlen[:, None], win,
                     jnp.int8(sw_vector.GENOME_PAD))
     rb = reads2[rid, st]
-    return sw_vector.sw_score_batch(win, rb, params)
+    return sw_vector.sw_score_engine(win, rb, params, engine=engine)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -172,6 +174,7 @@ class Mapper:
         self._dev_l3_a_cap = self.DEVICE_L3_A_CAP
         self._dev_l3_a2_cap = self.DEVICE_L3_A2_CAP
         self._l3_choice = None          # auto-tune result ("device"/"host")
+        self._pass1_engine = None       # auto-tune result (PASS1_ENGINES)
         # the pipelined streams run two batches on worker threads; counter
         # read-modify-writes must not interleave (#pragma omp atomic
         # analogue, mapping.c:1732-1750)
@@ -181,6 +184,54 @@ class Mapper:
         with self._stats_lock:
             for k, v in deltas.items():
                 self.stats[k] += v
+
+    def _pass1_engine_choice(self, NB: int, G: int, R: int) -> str:
+        """Resolve the pass-1 vector-SW engine once per run.
+
+        Explicit choice comes from $SHRIMP_TPU_PASS1 or
+        cfg.pass1_engine; "auto" times the three bit-identical
+        formulations (scan wavefront / row-scan / Pallas VMEM) at the
+        production bucket shape on the first batch and keeps the fastest
+        — the TPU analogue of sw_vector_setup picking the SSE2 path once
+        (sw-vector.c:389).  Off-TPU auto always picks "scan" (the Pallas
+        kernel would run interpreted)."""
+        if self._pass1_engine is not None:
+            return self._pass1_engine
+        import os as _os
+
+        import jax
+        choice = (_os.environ.get("SHRIMP_TPU_PASS1")
+                  or self.cfg.pass1_engine or "auto")
+        if choice != "auto":
+            self._pass1_engine = choice
+            return choice
+        if jax.default_backend() != "tpu":
+            self._pass1_engine = "scan"
+            return "scan"
+        rng = np.random.default_rng(0)
+        gb = rng.integers(0, 4, (NB, G)).astype(np.int8)
+        rb = rng.integers(0, 4, (NB, R)).astype(np.int8)
+        row0 = gb if self.cfg.colour_space else None
+        params = self.vect_params
+        best, best_t = "scan", float("inf")
+        for eng in sw_vector.PASS1_ENGINES:
+            try:
+                out = sw_vector.sw_score_engine(gb, rb, params,
+                                                genome_row0=row0,
+                                                engine=eng)
+                np.asarray(out)                      # compile + warm
+                t = float("inf")
+                for _ in range(3):                   # tunnel noise: best-of-3
+                    t0 = time.time()
+                    np.asarray(sw_vector.sw_score_engine(
+                        gb, rb, params, genome_row0=row0, engine=eng))
+                    t = min(t, time.time() - t0)
+            except Exception:
+                continue
+            if t < best_t:
+                best, best_t = eng, t
+        self._pass1_engine = best
+        return best
 
     def _pass1_dev_ok(self) -> bool:
         """Device-side pass-1 window gather eligibility (LS, genome plane
@@ -238,7 +289,8 @@ class Mapper:
                 wl = _pad_rows(w_len.astype(np.int32), NB, 0)
                 dev = _gather_score_ls(
                     self._genome_dev, lo, wl, ridp, stp, rb2, G,
-                    cfg.params)
+                    cfg.params,
+                    engine=self._pass1_engine_choice(NB, G, R))
                 if not sync:
                     return dev
                 return np.asarray(dev)[:len(rid)].astype(np.int64)
@@ -247,7 +299,9 @@ class Mapper:
             rb = self._reads_matrix(entries, rid, st, R)
             gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
             rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
-            dev = sw_vector.sw_score_batch(gb, rb, cfg.params)
+            dev = sw_vector.sw_score_engine(
+                gb, rb, cfg.params,
+                engine=self._pass1_engine_choice(NB, G, R))
             if not sync:
                 return dev
             return np.asarray(dev)[:len(rid)].astype(np.int64)
@@ -274,8 +328,9 @@ class Mapper:
         gb = _pad_rows(g_cs.astype(np.int8), NB, sw_vector.GENOME_PAD)
         rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
         row0 = _pad_rows(row0, NB, sw_vector.GENOME_PAD)
-        dev = sw_vector.sw_score_batch(gb, rb, self.vect_params,
-                                       genome_row0=row0)
+        dev = sw_vector.sw_score_engine(
+            gb, rb, self.vect_params, genome_row0=row0,
+            engine=self._pass1_engine_choice(NB, G, R))
         if not sync:
             return dev
         return np.asarray(dev)[:len(rid)].astype(np.int64)

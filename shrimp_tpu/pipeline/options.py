@@ -125,6 +125,11 @@ class MapperConfig:
     # lowering beats the transfer only on high-bandwidth interconnects);
     # off by default, flip on for co-located chips
     device_pass1_gather: bool = False
+    # pass-1 vector-SW formulation: "auto" (time scan/rows/pallas at the
+    # first production-shape batch on TPU and keep the fastest — all
+    # three are bit-identical), or force one of sw_vector.PASS1_ENGINES;
+    # $SHRIMP_TPU_PASS1 overrides
+    pass1_engine: str = "auto"
     bfast: bool = False               # Bflag: bfast-style CS base quals
     all_contigs: bool = False         # suppresses Z-field emission
     sam_read_group_name: str | None = None   # --read-group id (RG:Z tag)

@@ -150,3 +150,86 @@ def test_pallas_kernel_equals_wavefront():
         pal = np.asarray(sw_score_batch_pallas(
             jnp.asarray(genome), jnp.asarray(read), p, interpret=True))
         assert np.array_equal(ref, pal)
+
+
+def test_pallas_kernel_row0_plane():
+    """Pallas engine matches the wavefront with the colour-space row-0
+    genome plane (sw-vector.c:111-147 contract)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shrimp_tpu.ops import sw_vector as sv
+    from shrimp_tpu.ops.params import SWParams
+    from shrimp_tpu.ops.sw_vector_pallas import sw_score_batch_pallas
+
+    rng = np.random.default_rng(11)
+    B, G, R = 16, 96, 32
+    genome = rng.integers(0, 4, size=(B, G)).astype(np.int8)
+    row0 = rng.integers(0, 4, size=(B, G)).astype(np.int8)
+    read = np.full((B, R), sv.READ_PAD, np.int8)
+    for b in range(B):
+        L = int(rng.integers(10, R + 1))
+        s = int(rng.integers(0, G - L))
+        read[b, :L] = genome[b, s:s + L]
+    p = SWParams.colour_space()
+    ref = np.asarray(sv.sw_score_batch(
+        jnp.asarray(genome), jnp.asarray(read), p, jnp.asarray(row0)))
+    pal = np.asarray(sw_score_batch_pallas(
+        jnp.asarray(genome), jnp.asarray(read), p,
+        genome_row0=jnp.asarray(row0), interpret=True))
+    assert np.array_equal(ref, pal)
+
+
+def test_engine_dispatch_identical():
+    """sw_score_engine routes to bit-identical formulations; the mapper's
+    engine choice can never change output."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shrimp_tpu.ops import sw_vector as sv
+    from shrimp_tpu.ops.params import SWParams
+
+    rng = np.random.default_rng(3)
+    B, G, R = 8, 80, 24
+    genome = rng.integers(0, 4, size=(B, G)).astype(np.int8)
+    read = rng.integers(0, 4, size=(B, R)).astype(np.int8)
+    p = SWParams.letter_space()
+    outs = [np.asarray(sv.sw_score_engine(
+        jnp.asarray(genome), jnp.asarray(read), p, engine=e))
+        for e in sv.PASS1_ENGINES]
+    for o in outs[1:]:
+        assert np.array_equal(outs[0], o)
+
+
+def test_mapper_engine_invariance():
+    """Mapper output is identical under forced pass-1 engines (the
+    auto-tune choice is a pure perf knob)."""
+    import numpy as np
+
+    from shrimp_tpu import dna
+    from shrimp_tpu import index as gindex
+    from shrimp_tpu.io import fastx
+    from shrimp_tpu.pipeline.mapper import Mapper
+    from shrimp_tpu.pipeline.options import MapperConfig
+
+    rng = np.random.default_rng(5)
+    genome = rng.integers(0, 4, 20000).astype(np.int8)
+    idx = gindex.build_index([fastx.Contig(name="c1", codes=genome)])
+    reads = []
+    for i in range(24):
+        p = int(rng.integers(0, len(genome) - 50))
+        r = genome[p:p + 50].copy()
+        for _ in range(int(rng.integers(0, 4))):
+            q = int(rng.integers(0, 50))
+            r[q] = (r[q] + int(rng.integers(1, 4))) % 4
+        if rng.random() < 0.5:
+            r = dna.reverse_complement(r)
+        reads.append((f"r{i:03d}", dna.decode(r), "I" * 50))
+
+    sams = []
+    for eng in ("scan", "rows"):
+        m = Mapper(idx, MapperConfig(qual_delta=64, pass1_engine=eng))
+        res = m.map_batch(reads)
+        sams.append([rec.line() for e, hits in res
+                     for rec in m.sam_records(e, hits)])
+    assert sams[0] == sams[1]
