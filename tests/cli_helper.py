@@ -40,3 +40,27 @@ def run_gmapper(args, cwd: str | None = None, **_ignored):
             os.chdir(prev)
     return SimpleNamespace(returncode=rc, stdout=so.getvalue(),
                            stderr=se.getvalue())
+
+
+def run_module(mod: str, args, cwd: str | None = None, **_ignored):
+    """Run any shrimp_tpu tool CLI (module with main(argv)->int)
+    in-process; mirrors subprocess.run([python, -m, mod] + args)."""
+    import importlib
+
+    m = importlib.import_module(mod)
+    so, se = io.StringIO(), io.StringIO()
+    prev = os.getcwd()
+    if cwd:
+        os.chdir(cwd)
+    try:
+        with contextlib.redirect_stdout(so), contextlib.redirect_stderr(se):
+            try:
+                rc = m.main([mod.rsplit(".", 1)[-1]] + list(args))
+            except SystemExit as e:
+                rc = e.code if isinstance(e.code, int) else (
+                    0 if e.code is None else 1)
+    finally:
+        if cwd:
+            os.chdir(prev)
+    return SimpleNamespace(returncode=rc, stdout=so.getvalue(),
+                           stderr=se.getvalue())

@@ -3,8 +3,8 @@ shrimp_var, probcalc) against outputs of the reference binaries on
 tests/golden/legacy_mini.out (gmapper --shrimp-format on the mini corpus)."""
 
 import os
-import subprocess
-import sys
+
+from cli_helper import run_module
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 ROOT = os.path.dirname(os.path.dirname(__file__))
@@ -12,9 +12,7 @@ LEGACY = os.path.join(GOLDEN, "legacy_mini.out")
 
 
 def run_tool(mod, args):
-    return subprocess.run(
-        [sys.executable, "-m", f"shrimp_tpu.tools.{mod}"] + args,
-        capture_output=True, text=True, cwd=ROOT)
+    return run_module(f"shrimp_tpu.tools.{mod}", args, cwd=ROOT)
 
 
 def test_shrimp_var_parity():

@@ -1,16 +1,15 @@
 """prettyprint tool + gmapper -P parity with the reference binaries."""
 
 import os
-import subprocess
-import sys
+
+from cli_helper import run_module
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 ROOT = os.path.dirname(os.path.dirname(__file__))
 
 
 def run(mod, args):
-    return subprocess.run([sys.executable, "-m", mod] + args,
-                          capture_output=True, text=True, cwd=ROOT)
+    return run_module(mod, args, cwd=ROOT)
 
 
 def test_prettyprint_ls():

@@ -1,17 +1,15 @@
 """Smoke + semantics tests for the utils subcommands."""
 
 import os
-import subprocess
-import sys
+
+from cli_helper import run_module
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 ROOT = os.path.dirname(os.path.dirname(__file__))
 
 
 def run(args, **kw):
-    return subprocess.run(
-        [sys.executable, "-m", "shrimp_tpu.tools.utils"] + args,
-        capture_output=True, text=True, cwd=ROOT, **kw)
+    return run_module("shrimp_tpu.tools.utils", args, cwd=ROOT, **kw)
 
 
 def test_cs2ls_roundtrip(tmp_path):
