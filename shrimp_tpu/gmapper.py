@@ -673,13 +673,13 @@ def main(argv: list[str] | None = None) -> int:
         log(f"Loaded Genome ({time.time() - t0:.1f}s)")
     load_genome_secs = time.time() - t0
     if genome_shards > 1:
-        if pair_mode != 0:
-            log("error: --genome-shards currently supports unpaired "
-                "mapping (use splitreads+mergesam for paired shard runs)")
-            return 1
         if load_prefix is not None or load_mmap_prefix is not None or \
             save_prefix is not None or save_mmap_prefix is not None:
             log("error: --genome-shards maps directly from genome FASTA")
+            return 1
+        if shrimp_format:
+            log("error: --genome-shards emits SAM (the cluster workflow's "
+                "merge format); legacy output is single-index only")
             return 1
 
     if y_proj_hist:
@@ -751,6 +751,24 @@ def main(argv: list[str] | None = None) -> int:
                        if read_group else []))
         section("pg", [f"@PG\tID:gmapper\tVN:{VERSION}\tCL:{cmdline}"])
 
+    def build_cli_mesh():
+        from shrimp_tpu.parallel.shard import make_mesh
+        import jax as _jax
+        avail = len(_jax.devices())
+        nd = n_devices or avail
+        nd = min(nd, avail)
+        try:
+            return make_mesh(max(nd - nd % genome_shards, genome_shards)
+                             if nd >= genome_shards else genome_shards,
+                             genome_shards=genome_shards)
+        except ValueError:
+            # fewer devices than shards: replicate devices round-robin
+            devs = (_jax.devices() * genome_shards)[:genome_shards]
+            import numpy as _np
+            from jax.sharding import Mesh as _Mesh
+            return _Mesh(_np.array(devs).reshape(1, genome_shards),
+                         ("reads", "genome"))
+
     pcfg = None
     if pair_mode != 0:
         pcfg = PairedConfig(pair_mode=pair_mode,
@@ -761,30 +779,19 @@ def main(argv: list[str] | None = None) -> int:
                             match_mode=cfg.match_mode_unpaired)
         if hasattr(pcfg, "improper_mappings"):
             pcfg.improper_mappings = not no_improper
-        mapper = PairedMapper(idx, cfg, pcfg)
-        paired_popts = [mapper._popts_from(rpo) for rpo in paired_option_sets]
+        if genome_shards > 1:
+            from shrimp_tpu.parallel.mesh import MeshPairedMapper
+            mapper = MeshPairedMapper(shard_indexes, cfg, pcfg,
+                                      mesh=build_cli_mesh())
+            paired_popts = [mapper.mappers[0]._popts_from(rpo)
+                            for rpo in paired_option_sets]
+        else:
+            mapper = PairedMapper(idx, cfg, pcfg)
+            paired_popts = [mapper._popts_from(rpo)
+                            for rpo in paired_option_sets]
     elif genome_shards > 1:
         from shrimp_tpu.parallel.mesh import MeshMapper
-        from shrimp_tpu.parallel.shard import make_mesh
-        import jax as _jax
-        avail = len(_jax.devices())
-        nd = n_devices or avail
-        nd = min(nd, avail)
-        gs = min(genome_shards, nd) if nd >= genome_shards else genome_shards
-        try:
-            mesh = make_mesh(max(nd - nd % genome_shards, genome_shards)
-                             if nd >= genome_shards else genome_shards,
-                             genome_shards=genome_shards)
-        except ValueError:
-            mesh = None
-        if mesh is None:
-            # fewer devices than shards: replicate devices round-robin
-            devs = (_jax.devices() * genome_shards)[:genome_shards]
-            import numpy as _np
-            from jax.sharding import Mesh as _Mesh
-            mesh = _Mesh(_np.array(devs).reshape(1, genome_shards),
-                         ("reads", "genome"))
-        mapper = MeshMapper(shard_indexes, cfg, mesh=mesh)
+        mapper = MeshMapper(shard_indexes, cfg, mesh=build_cli_mesh())
         paired_popts = []
     else:
         mapper = Mapper(idx, cfg)
@@ -877,9 +884,28 @@ def main(argv: list[str] | None = None) -> int:
                 log("warning: odd number of reads in paired mode; "
                     "dropping the last one")
 
-        for pr in mapper.map_pair_stream(
-                pairs_gen(), batch_size=max(batch_size // 2, 1),
-                option_sets=paired_popts or None):
+        if genome_shards > 1:
+            # mesh mode: per-shard paired funnels + Part-2c recombination
+            def pair_results():
+                import itertools
+                it = pairs_gen()
+                while True:
+                    chunk = list(itertools.islice(
+                        it, max(batch_size // 2, 1)))
+                    if not chunk:
+                        break
+                    for pr_, tp_, tu_ in mapper.map_pair_batch(
+                            chunk, option_sets=paired_popts or None):
+                        yield pr_, (lambda p, a=tp_, b=tu_:
+                                    mapper.sam_records_pair(p, a, b))
+        else:
+            def pair_results():
+                for pr_ in mapper.map_pair_stream(
+                        pairs_gen(), batch_size=max(batch_size // 2, 1),
+                        option_sets=paired_popts or None):
+                    yield pr_, mapper.sam_records_pair
+
+        for pr, emit_pair in pair_results():
             n_reads += 2
             got = bool(pr.paired_hits or pr.unpaired_hits)
             n_matched += 2 if got else 0
@@ -908,7 +934,7 @@ def main(argv: list[str] | None = None) -> int:
                 for line in mapper.legacy_records_pair(pr, rflag):
                     out.write(line + "\n")
             else:
-                for rec in mapper.sam_records_pair(pr):
+                for rec in emit_pair(pr):
                     out.write(rec.line() + "\n")
             if progress and n_reads % progress < 2:
                 el = time.time() - t_map0

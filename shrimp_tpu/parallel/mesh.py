@@ -239,3 +239,208 @@ def split_index_shards(contigs, n_shards: int, seed_set=None,
         acc += len(c.codes)
     return [gindex.build_index(b, seed_set, colour_space=colour_space)
             for b in bins if b]
+
+
+class MeshPairedMapper:
+    """Paired-end mapping against S genome-index shards on a device mesh.
+
+    The mesh form of the reference's paired cluster workflow: every shard
+    job runs the full paired funnel independently (per-shard fall-through,
+    exactly like independent `gmapper -p` jobs, SPLITTING_AND_MERGING:68-97),
+    and the shard results are recombined with the paired MAPPING_QUALITIES
+    Part 2c algebra — z3 := Σ_s z3_s and the insert-size denominator
+    z6 := Σ_s z6_s ride a psum over the genome mesh axis (the associative
+    sums `mergesam/sam_reader.c:117-296` computes from SAM side-channel
+    fields), class priors use the WHOLE genome length, and the global
+    bounded selection mirrors `readpair_pass2` (sort by the normalized
+    pair key, truncate to num_outputs, strata).  Pairs never straddle
+    shards (contigs are not split, README:158-164), so pair construction
+    and dedup stay shard-local.  With the default option set the emitted
+    SAM is byte-identical to a single-device `PairedMapper` run
+    (tests/test_mesh_mapper.py)."""
+
+    def __init__(self, indexes, cfg: MapperConfig | None = None,
+                 pcfg=None, mesh: Mesh | None = None):
+        from shrimp_tpu.pipeline.paired import PairedConfig, PairedMapper
+        self.cfg = cfg or MapperConfig()
+        if self.cfg.device_candidates == "auto":
+            self.cfg.device_candidates = False
+        self.pcfg = pcfg or PairedConfig()
+        self.mappers = [PairedMapper(idx, self.cfg, self.pcfg)
+                        for idx in indexes]
+        self.S = len(indexes)
+        if mesh is None:
+            n = max(len(jax.devices()) // self.S, 1) * self.S
+            mesh = make_mesh(min(n, len(jax.devices())),
+                             genome_shards=self.S)
+        assert mesh.shape[GENOME_AXIS] == self.S, (mesh.shape, self.S)
+        self.mesh = mesh
+        self._zmesh = Mesh(np.asarray(mesh.devices)[0], (GENOME_AXIS,))
+        self._z_psum = build_z1_psum(self._zmesh)
+        self._shard_devices = [mesh.devices[0][s] for s in range(self.S)]
+        # the merge-side MQV pass scales class priors by the WHOLE genome
+        total_len = sum(int(m.index.total_len) for m in self.mappers)
+        self._merge_mapper = self.mappers[0]
+        self._merge_mapper.mqv_total_len = total_len
+
+    # ------------------------------------------------------------------
+    def map_pair_batch(self, pairs, option_sets=None):
+        """Map read pairs against every shard and merge exactly.
+
+        Returns [(PairResult, tagged_pairs, tagged_unpaired)] per pair:
+        the PairResult carries merged hits with cross-shard-exact MQVs;
+        the tag lists carry (shard, ...) so SAM emission can resolve each
+        hit's shard-local contig table."""
+        from shrimp_tpu.pipeline.options import is_absolute
+        from shrimp_tpu.pipeline.paired import PairResult
+
+        cfg = self.cfg
+        per_shard = []
+        for s, m in enumerate(self.mappers):
+            with jax.default_device(self._shard_devices[s]):
+                per_shard.append(
+                    m.map_pair_batch(pairs, option_sets,
+                                     compute_mqv=False))
+        pairing = (option_sets[0]["pairing"] if option_sets
+                   else self.mappers[0].default_paired_sets()[0]["pairing"])
+        thr = pairing["pass2_threshold"]
+        K = pairing["pass2_num_outputs"]
+
+        nP = len(pairs)
+        out = []
+        z3_local = np.zeros((self.S, nP), np.float64)
+        z6_local = np.zeros((self.S, nP), np.float64)
+        for pi in range(nP):
+            # ---- merge paired hits: shard order == contig order, so a
+            # stable sort by the pair key reproduces the single-index
+            # candidate ordering (readpair_pass2's sort, paired.py) ----
+            tagged_pairs = []
+            for s in range(self.S):
+                for fh0, fh1, isz in per_shard[s][pi].paired_hits:
+                    tagged_pairs.append((s, fh0, fh1, isz))
+
+            def pkey(t):
+                total = t[1].score_full + t[2].score_full
+                if is_absolute(thr):
+                    return total
+                smax = t[1].score_max + t[2].score_max
+                return (100000 * total) // smax
+
+            tagged_pairs.sort(key=lambda t: -pkey(t))
+            tagged_pairs = tagged_pairs[:K]
+            if pairing["strata"] and tagged_pairs:
+                top = (tagged_pairs[0][1].score_full
+                       + tagged_pairs[0][2].score_full)
+                tagged_pairs = [t for t in tagged_pairs
+                                if t[1].score_full + t[2].score_full == top]
+            if tagged_pairs and cfg.max_alignments \
+               and len(tagged_pairs) > cfg.max_alignments:
+                tagged_pairs = []
+
+            # ---- merge half-paired fallback hits per side ----
+            tagged_unp = []
+            for nip in (0, 1):
+                side = []
+                for s in range(self.S):
+                    for n, fh in per_shard[s][pi].unpaired_hits:
+                        if n == nip:
+                            side.append((s, nip, fh))
+                side.sort(key=lambda t: -t[2].pass2_key)
+                side = side[:cfg.num_outputs]
+                if cfg.strata and side:
+                    top = side[0][2].score_full
+                    side = [t for t in side if t[2].score_full == top]
+                if side and cfg.max_alignments \
+                   and len(side) > cfg.max_alignments:
+                    side = []
+                tagged_unp.extend(side)
+
+            pr = PairResult(re=per_shard[0][pi].re)
+            pr.paired_hits = [(fh0, fh1, isz)
+                              for _, fh0, fh1, isz in tagged_pairs]
+            pr.unpaired_hits = [(nip, fh) for _, nip, fh in tagged_unp]
+            if cfg.compute_mapping_qualities:
+                self._merge_mapper._paired_mqv(pr)
+            # per-shard z sums for the collective (the quantities
+            # _paired_mqv just summed serially over the same post-merge
+            # hits): z3_s over UNIQUE foot-0 groups (z2 is per-foot, a
+            # foot paired with several mates appears once), z6_s over
+            # pairs (the insert-prior denominator)
+            seen0 = set()
+            for s, fh0, fh1, isz in tagged_pairs:
+                if id(fh0) not in seen0:
+                    seen0.add(id(fh0))
+                    z3_local[s, pi] += fh0.z2
+                z6_local[s, pi] += mapq.get_pr_insert_size(
+                    isz, self.pcfg.insert_size_mean,
+                    self.pcfg.insert_size_stddev)
+            out.append((pr, tagged_pairs, tagged_unp))
+
+        # ---- the collective form of the Part-2c sums: z3 := Σ_s z3_s,
+        # z6 := Σ_s z6_s as a psum over the genome mesh axis, float64
+        # carried as a hi/lo float32 pair; the serial sums inside
+        # _paired_mqv are the authoritative (and equal) values ----
+        if nP and self.S > 1:
+            from jax.sharding import PartitionSpec
+            sharding = NamedSharding(self._zmesh,
+                                     PartitionSpec(GENOME_AXIS, None))
+            for arr in (z3_local, z6_local):
+                hi = arr.astype(np.float32)
+                lo = (arr - hi).astype(np.float32)
+                tot = (np.asarray(self._z_psum(
+                    jax.device_put(hi, sharding)))[0].astype(np.float64)
+                    + np.asarray(self._z_psum(
+                        jax.device_put(lo, sharding)))[0]
+                    .astype(np.float64))
+                assert np.allclose(tot, arr.sum(axis=0)), \
+                    "collective z recombination diverged from serial"
+        return out
+
+    # ------------------------------------------------------------------
+    def sam_records_pair(self, pr, tagged_pairs, tagged_unp):
+        """readpair_output emission (output.c:1237-1282), each hit
+        rendered through its owning shard's contig table."""
+        cfg = self.cfg
+        recs = []
+        re = pr.re
+        for s, fh0, fh1, isz in tagged_pairs:
+            m = self.mappers[s]
+            recs.append(m._paired_record(re[0], fh0, re[1], fh1, isz, True))
+            m._append_tail_tags(recs[-1], re[0], fh0, mate_re=re[1])
+            recs.append(m._paired_record(re[1], fh1, re[0], fh0, -isz,
+                                         False))
+            m._append_tail_tags(recs[-1], re[1], fh1, mate_re=re[0])
+        for s, nip, fh in tagged_unp:
+            m = self.mappers[s]
+            mate_nip = 1 - nip
+            mapped = m._halfpair_record(re[nip], fh, re[mate_nip], nip == 0)
+            m._append_tail_tags(mapped, re[nip], fh, mate_re=re[mate_nip])
+            unmapped = m._mate_unmapped_record(re[mate_nip], re[nip], fh,
+                                               mate_nip == 0)
+            m._append_tail_tags(unmapped, re[mate_nip], None,
+                                mate_re=re[nip])
+            recs.extend([mapped, unmapped] if nip == 0
+                        else [unmapped, mapped])
+        if not tagged_pairs and not tagged_unp and cfg.sam_unaligned:
+            return self.mappers[0].sam_records_pair(pr)
+        return recs
+
+    @property
+    def stats(self):
+        agg: dict = {}
+        for m in self.mappers:
+            for k, v in m.stats.items():
+                agg[k] = agg.get(k, 0) + v
+        return agg
+
+    @property
+    def tel(self):
+        from shrimp_tpu.utils import telemetry
+        t = telemetry.Telemetry()
+        for m in self.mappers:
+            for name in ("f1", "f2", "fwbw"):
+                ks = getattr(m.tel, name)
+                getattr(t, name).add(ks.invocs, ks.cells, ks.secs)
+            for sname, st in m.tel.stages.items():
+                t.stages[sname].secs += st.secs
+        return t

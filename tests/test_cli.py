@@ -89,3 +89,23 @@ def test_cli_mmap_roundtrip(tmp_path):
                  os.path.join(GOLDEN, "mini_reads.fq")])
     assert r.returncode == 0, r.stderr
     assert len(body(r.stdout)) == 40
+
+
+def test_cli_genome_shards_unpaired_parity():
+    """--genome-shards N (MeshMapper) emits the same SAM body as the
+    single-index run — the reference shard-invariance on the mesh."""
+    r = run_cli(["-Q", "--genome-shards", "2",
+                 os.path.join(GOLDEN, "golden_reads.fq"),
+                 os.path.join(GOLDEN, "golden_genome.fa")])
+    assert r.returncode == 0, r.stderr
+    assert body(r.stdout) == golden_body("golden_unpaired.sam")
+
+
+def test_cli_genome_shards_paired_parity():
+    """--genome-shards N with -p (MeshPairedMapper): per-shard paired
+    funnels + Part-2c psum recombination == the reference paired SAM."""
+    r = run_cli(["-Q", "-p", "opp-in", "--genome-shards", "2",
+                 os.path.join(GOLDEN, "golden_pairs.fq"),
+                 os.path.join(GOLDEN, "golden_genome.fa")])
+    assert r.returncode == 0, r.stderr
+    assert body(r.stdout) == golden_body("golden_paired.sam")

@@ -103,3 +103,69 @@ def test_mesh_matches_file_workflow():
                     h1.mqv) == \
                    (h2.gen_st, h2.g_off + h2.genome_start, h2.score_full,
                     h2.mqv), e1.name
+
+
+def build_pair_corpus(n_contigs=8, contig_len=12_000, n_pairs=60, seed=33):
+    """opp-in pairs planted with inserts in [120, 360] + mutations."""
+    from shrimp_tpu import dna
+    from shrimp_tpu.io import fastx
+    rng = np.random.default_rng(seed)
+    contigs = [fastx.Contig(name=f"ctg{i:02d}",
+                            codes=rng.integers(0, 4, contig_len)
+                            .astype(np.int8))
+               for i in range(n_contigs)]
+    pairs = []
+    for i in range(n_pairs):
+        ci = int(rng.integers(0, n_contigs))
+        isz = int(rng.integers(120, 360))
+        p = int(rng.integers(0, contig_len - isz - 1))
+        r1 = contigs[ci].codes[p:p + 50].copy()
+        r2 = dna.reverse_complement(
+            contigs[ci].codes[p + isz - 50:p + isz].copy())
+        for r in (r1, r2):
+            for _ in range(int(rng.integers(0, 3))):
+                q = int(rng.integers(0, 50))
+                r[q] = (r[q] + int(rng.integers(1, 4))) % 4
+        pairs.append(((f"p{i:03d}/1", dna.decode(r1), "I" * 50),
+                      (f"p{i:03d}/2", dna.decode(r2), "I" * 50)))
+    return contigs, pairs
+
+
+def test_mesh_paired_equals_single_device():
+    """MeshPairedMapper (per-shard paired funnels + Part-2c psum
+    recombination + global bounded selection) == single-device
+    PairedMapper, byte-for-byte."""
+    from shrimp_tpu import index as gindex
+    from shrimp_tpu.parallel.mesh import MeshPairedMapper, \
+        split_index_shards
+    from shrimp_tpu.parallel.shard import make_mesh
+    from shrimp_tpu.pipeline.options import MapperConfig
+    from shrimp_tpu.pipeline.paired import PairedConfig, PairedMapper
+
+    contigs, pairs = build_pair_corpus()
+    whole = gindex.build_index(contigs)
+    shards = split_index_shards(contigs, 4)
+
+    cfg = MapperConfig(qual_delta=64)
+    pcfg = PairedConfig(pair_mode=1, min_insert_size=0,
+                        max_insert_size=500)
+    single = PairedMapper(whole, cfg, pcfg)
+    mesh = make_mesh(8, genome_shards=4)
+    mm = MeshPairedMapper(shards, MapperConfig(qual_delta=64),
+                          PairedConfig(pair_mode=1, min_insert_size=0,
+                                       max_insert_size=500), mesh=mesh)
+
+    res_single = single.map_pair_batch(pairs)
+    res_mesh = mm.map_pair_batch(pairs)
+
+    want = []
+    for pr in res_single:
+        for rec in single.sam_records_pair(pr):
+            want.append(rec.line())
+    got = []
+    for pr, tp, tu in res_mesh:
+        for rec in mm.sam_records_pair(pr, tp, tu):
+            got.append(rec.line())
+    assert len(want) == len(got), (len(want), len(got))
+    for w, g in zip(want, got):
+        assert w == g, (w, g)
