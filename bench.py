@@ -24,12 +24,15 @@ import time
 
 import numpy as np
 
-GENOME_BP = 1_000_000_000
+# default 1 Gbp; SHRIMP_BENCH_GBP=3.1 runs the full hg18-scale condition
+# (the reference's 3.1 Gbp / 48GB-RAM operating point, README:135-150)
+GENOME_BP = int(float(os.environ.get("SHRIMP_BENCH_GBP", "1")) * 1e9)
 N_READS = 16384
 READ_LEN = 50
 BATCH = 2048
 CACHE = os.path.join(os.path.expanduser("~"), ".cache", "shrimp_tpu",
-                     "bench1g_v1")
+                     f"bench{GENOME_BP // 10**9}g{(GENOME_BP % 10**9) // 10**8}_v1"
+                     if GENOME_BP != 10**9 else "bench1g_v1")
 
 
 def make_genome(rng):
@@ -168,7 +171,9 @@ def main():
     tel = mapper.tel
     baseline_rps = 44.0                     # reference reads/s/core
     print(json.dumps({
-        "metric": "unpaired_reads_per_sec_per_chip_1Gbp",
+        "metric": ("unpaired_reads_per_sec_per_chip_1Gbp"
+                   if GENOME_BP == 10**9 else
+                   f"unpaired_reads_per_sec_per_chip_{GENOME_BP / 1e9:g}Gbp"),
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / baseline_rps, 2),
