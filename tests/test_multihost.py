@@ -45,3 +45,32 @@ def test_two_process_mapping(tmp_path):
         want = [l.rstrip("\n") for l in fh if not l.startswith("@")]
     got = body(out)
     assert got == want, (len(got), len(want))
+
+
+def test_two_process_paired_mapping(tmp_path):
+    """Paired multihost: 2 processes, paired-aware block dealing, rank-0
+    assembly ordered by the common-prefix-trimmed pair qname."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = str(tmp_path / "mhp.sam")
+    reads = os.path.join(GOLDEN, "golden_pairs.fq")
+    genome = os.path.join(GOLDEN, "golden_genome.fa")
+    port = 9000 + (os.getpid() + 7) % 20000
+    procs = []
+    for rank in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "shrimp_tpu.parallel.multihost",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(rank),
+             "--out", out, "--block", "20",
+             "--", "-Q", "-p", "opp-in", reads, genome],
+            cwd=ROOT, env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE))
+    for p in procs:
+        _, err = p.communicate(timeout=1200)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    with open(os.path.join(GOLDEN, "golden_paired.sam")) as fh:
+        want = [l.rstrip("\n") for l in fh if not l.startswith("@")]
+    got = body(out)
+    assert got == want, (len(got), len(want))
