@@ -109,3 +109,12 @@ def test_cli_genome_shards_paired_parity():
                  os.path.join(GOLDEN, "golden_genome.fa")])
     assert r.returncode == 0, r.stderr
     assert body(r.stdout) == golden_body("golden_paired.sam")
+
+
+def test_cli_genome_shards_cs_parity():
+    """Colour-space mapping across genome shards on the mesh."""
+    r = run_cli(["--mode", "cs", "-Q", "--genome-shards", "2",
+                 os.path.join(GOLDEN, "golden_reads_cs.fq"),
+                 os.path.join(GOLDEN, "golden_genome.fa")])
+    assert r.returncode == 0, r.stderr
+    assert body(r.stdout) == golden_body("golden_cs.sam")
