@@ -118,3 +118,13 @@ def test_cli_genome_shards_cs_parity():
                  os.path.join(GOLDEN, "golden_genome.fa")])
     assert r.returncode == 0, r.stderr
     assert body(r.stdout) == golden_body("golden_cs.sam")
+
+
+def test_cli_genome_shards_cs_paired_parity():
+    """Colour-space paired mapping across genome shards on the mesh."""
+    r = run_cli(["--mode", "cs", "-Q", "-p", "opp-in",
+                 "--genome-shards", "2",
+                 os.path.join(GOLDEN, "pairs_cs_opp-in.fq"),
+                 os.path.join(GOLDEN, "golden_genome.fa")])
+    assert r.returncode == 0, r.stderr
+    assert body(r.stdout) == golden_body("golden_cs_opp-in.sam")
