@@ -169,5 +169,14 @@ def load_candidates() -> ctypes.CDLL | None:
         i64p, c_ll,                             # contig_offsets, n_contigs
         ctypes.c_int, ctypes.c_int,             # collapse, shift
         i32p, i64p, i32p, i32p, i32p, i32p]     # out rid,x,y,ln,wt,cn
+    lib.hit_list_from_anchors.restype = c_ll
+    lib.hit_list_from_anchors.argtypes = [
+        i32p, i8p2, i64p, i32p, i32p, i32p, i32p, u8p, c_ll,
+        i64p, i64p,                             # rlen, wlen per read
+        i64p, i64p,                             # contig offsets, lens
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,   # match, bgo, bge
+        ctypes.c_double, ctypes.c_int, ctypes.c_int,  # thr, gapless, mm
+        i32p, i8p2, i32p, i64p, i32p, i32p, i32p, i32p,
+        i64p, i64p, i32p, i32p]
     _CAND_LIB = lib
     return lib

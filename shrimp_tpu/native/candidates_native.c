@@ -492,3 +492,151 @@ long long anchors_from_csr(
                          collapse, out_rid, out_x, out_y, out_ln,
                          out_wt, out_cn);
 }
+
+/* ------------------------------------------------------------------ */
+/* Fused CMW generation (read_get_hit_list_per_strand,
+ * gmapper/mapping.c:1052-1260): for each anchor, the backward scan over
+ * in-window predecessors with the optimistic 2-anchor + 1-gap score
+ * (mapping.c:1104-1177), threshold emission, window placement, and the
+ * anchor join (anchors.c) — one sequential pass over the (rid, x)-sorted
+ * anchor stream in place of the NumPy k-stepped masked loop.
+ * Outputs are unsorted (caller applies the (rid, cn, g_off) lexsort).
+ * Returns the emitted hit count. */
+
+static int64_t fdiv2(int64_t v)
+{
+    return v >= 0 ? v / 2 : -((-v + 1) / 2);
+}
+
+long long hit_list_from_anchors(
+    const int32_t *rid, const int8_t *st, const int64_t *x,
+    const int32_t *y, const int32_t *ln, const int32_t *wt,
+    const int32_t *cn, const uint8_t *heavy, long long n,
+    const int64_t *rlen_per_read, const int64_t *wlen_per_read,
+    const int64_t *contig_offsets, const int64_t *contig_len,
+    int match, int b_gap_open, int b_gap_extend,
+    double threshold, int gapless, int match_mode,
+    int32_t *o_rid, int8_t *o_st, int32_t *o_cn, int64_t *o_goff,
+    int32_t *o_wlen, int32_t *o_swg, int32_t *o_matches, int32_t *o_smax,
+    int64_t *o_ax, int64_t *o_ay, int32_t *o_alen, int32_t *o_awid)
+{
+    long long i, n_out = 0;
+    for (i = 0; i < n; i++) {
+        int64_t R = rlen_per_read[rid[i]];
+        int64_t wcfg = wlen_per_read[rid[i]];
+        int64_t coff = contig_offsets[cn[i]];
+        int64_t clen = contig_len[cn[i]];
+        int64_t w_len = wcfg < clen ? wcfg : clen;
+        int64_t gend, gstart, floor_x;
+        int64_t ms;                   /* running optimistic max score */
+        long long mi = i;             /* paired predecessor index */
+        long long j;
+
+        ms = (int64_t)ln[i] * match;
+        if (!gapless) {
+            if (match_mode == 2 && wt[i] == 1)
+                ms = -1;
+            else if (match_mode == 3 && heavy && wt[i] == 1 && !heavy[i])
+                ms = -1;
+        }
+
+        if (!gapless) {
+            gend = (x[i] - coff) + R - 1 - y[i];
+            if (gend > clen - 1)
+                gend = clen - 1;
+            gstart = gend >= wcfg ? gend - wcfg : 0;
+            floor_x = coff + gstart;
+            for (j = i - 1; j >= 0 && rid[j] == rid[i]
+                 && x[j] >= floor_x; j--) {
+                int64_t dx, dy, li_, short_len, long_len, tmp;
+                if (y[j] >= y[i])
+                    continue;
+                dx = x[i] - x[j];
+                dy = (int64_t)y[i] - y[j];
+                li_ = ln[i];
+                if (dx - dy > 0) {        /* deletion in read */
+                    short_len = dy + li_;
+                    long_len = dx + li_;
+                } else {
+                    short_len = dx + li_;
+                    long_len = dy + li_;
+                }
+                tmp = short_len * match;
+                if (long_len > short_len)
+                    tmp += b_gap_open
+                        + (long_len - short_len) * b_gap_extend;
+                if (tmp > ms) {
+                    ms = tmp;
+                    mi = j;
+                }
+            }
+        }
+
+        {
+            int64_t base = (R < w_len ? R : w_len) * match;
+            int64_t thr = threshold >= 0.0
+                ? (int64_t)((double)base * (threshold / 100.0))
+                : (int64_t)(-threshold);
+            int emit;
+            if (gapless || match_mode == 1)
+                emit = 1;
+            else {
+                emit = ms >= thr;
+                if (match_mode == 3 && heavy && heavy[i])
+                    emit = 1;
+            }
+            if (!emit)
+                continue;
+
+            {
+                int64_t x_len = (x[i] - x[mi]) + ln[i];
+                int64_t half = fdiv2(wcfg - x_len);
+                int64_t goff = half < x[mi] - coff
+                    ? (x[mi] - coff) - half : 0;
+                int64_t xi, yi, li_, xj, yj, lj;
+                int64_t ax, ay, alen, awid;
+                int has_pair = mi < i;
+                if (goff + w_len > clen)
+                    goff = clen - w_len;
+                xi = x[i] - coff - goff; yi = y[i]; li_ = ln[i];
+                xj = x[mi] - coff - goff; yj = y[mi]; lj = ln[mi];
+                if (has_pair) {
+                    int64_t nw, sw, ne, se;
+                    int64_t a1 = xi + yi, a2 = xj + yj;
+                    int64_t d1 = xi - yi, d2 = xj - yj;
+                    int64_t e1 = a1 + 2 * (li_ - 1), e2 = a2 + 2 * (lj - 1);
+                    nw = a1 < a2 ? a1 : a2;
+                    sw = d1 < d2 ? d1 : d2;
+                    ne = d1 > d2 ? d1 : d2;
+                    se = e1 > e2 ? e1 : e2;
+                    if ((nw + sw) & 1)
+                        nw -= 1;
+                    ax = (nw + sw) / 2;
+                    ay = nw - ax;
+                    if ((ne - sw) & 1)
+                        ne += 1;
+                    awid = (ne - sw) / 2 + 1;
+                    if ((se - nw) & 1)
+                        se += 1;
+                    alen = (se - nw) / 2 + 1;
+                } else {
+                    ax = xi; ay = yi; alen = li_; awid = 1;
+                }
+                o_rid[n_out] = rid[i];
+                o_st[n_out] = st[i];
+                o_cn[n_out] = cn[i];
+                o_goff[n_out] = goff;
+                o_wlen[n_out] = (int32_t)w_len;
+                o_swg[n_out] = (int32_t)ms;
+                o_matches[n_out] = has_pair ? wt[i] + wt[mi] : wt[i];
+                o_smax[n_out] = (int32_t)base;
+                o_ax[n_out] = ax;
+                o_ay[n_out] = ay;
+                o_alen[n_out] = (int32_t)alen;
+                o_awid[n_out] = (int32_t)awid;
+                n_out++;
+            }
+        }
+    }
+    return n_out;
+}

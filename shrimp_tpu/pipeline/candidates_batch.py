@@ -591,6 +591,72 @@ def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
     return AnchorBatch(rid, st_col, x, y, ln, wt, cn)
 
 
+def _hit_list_native(lib, entries, idx, an, options, cfg, heavy_mp):
+    """One C pass: backward in-window scan + threshold emit + window
+    placement + anchor join (native hit_list_from_anchors); the final
+    (rid, cn, g_off) lexsort stays in NumPy."""
+    import ctypes
+    n = an.n
+    p = cfg.params
+    rlen = np.array([e.read_len for e in entries], np.int64)
+    wlen = np.array([e.window_len for e in entries], np.int64)
+    coffs = np.ascontiguousarray(idx.contig_offsets, np.int64)
+    clens = np.ascontiguousarray(idx.contig_len, np.int64)
+    heavy = (np.ascontiguousarray(heavy_mp, np.uint8)
+             if heavy_mp is not None else None)
+
+    o_rid = np.empty(n, np.int32)
+    o_st = np.empty(n, np.int8)
+    o_cn = np.empty(n, np.int32)
+    o_goff = np.empty(n, np.int64)
+    o_wlen = np.empty(n, np.int32)
+    o_swg = np.empty(n, np.int32)
+    o_matches = np.empty(n, np.int32)
+    o_smax = np.empty(n, np.int32)
+    o_ax = np.empty(n, np.int64)
+    o_ay = np.empty(n, np.int64)
+    o_alen = np.empty(n, np.int32)
+    o_awid = np.empty(n, np.int32)
+
+    a_rid = np.ascontiguousarray(an.rid, np.int32)
+    a_st = np.ascontiguousarray(an.st, np.int8)
+    a_x = np.ascontiguousarray(an.x, np.int64)
+    a_y = np.ascontiguousarray(an.y, np.int32)
+    a_ln = np.ascontiguousarray(an.length, np.int32)
+    a_wt = np.ascontiguousarray(an.weight, np.int32)
+    a_cn = np.ascontiguousarray(an.cn, np.int32)
+
+    def P(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    i32, i64, i8 = ctypes.c_int32, ctypes.c_longlong, ctypes.c_int8
+    u8 = ctypes.c_uint8
+    n_out = lib.hit_list_from_anchors(
+        P(a_rid, i32), P(a_st, i8), P(a_x, i64), P(a_y, i32),
+        P(a_ln, i32), P(a_wt, i32), P(a_cn, i32),
+        P(heavy, u8) if heavy is not None else None, n,
+        P(rlen, i64), P(wlen, i64), P(coffs, i64), P(clens, i64),
+        int(p.match), int(p.b_gap_open), int(p.b_gap_extend),
+        float(options.threshold), int(bool(options.gapless)),
+        int(options.match_mode),
+        P(o_rid, i32), P(o_st, i8), P(o_cn, i32), P(o_goff, i64),
+        P(o_wlen, i32), P(o_swg, i32), P(o_matches, i32), P(o_smax, i32),
+        P(o_ax, i64), P(o_ay, i64), P(o_alen, i32), P(o_awid, i32))
+    hb = HitBatch(
+        rid=o_rid[:n_out], st=o_st[:n_out], cn=o_cn[:n_out],
+        g_off=o_goff[:n_out], w_len=o_wlen[:n_out],
+        score_window_gen=o_swg[:n_out], matches=o_matches[:n_out],
+        score_max=o_smax[:n_out], anchor_x=o_ax[:n_out],
+        anchor_y=o_ay[:n_out], anchor_length=o_alen[:n_out],
+        anchor_width=o_awid[:n_out])
+    order = np.lexsort((hb.g_off, hb.cn, hb.rid))
+    for f in ("rid", "st", "cn", "g_off", "w_len", "score_window_gen",
+              "matches", "score_max", "anchor_x", "anchor_y",
+              "anchor_length", "anchor_width"):
+        setattr(hb, f, getattr(hb, f)[order])
+    return hb
+
+
 def hit_list_batch(entries: list[ReadEntry], idx: GenomeIndex,
                    an: AnchorBatch, options: HitListOptions,
                    cfg: MapperConfig,
@@ -606,6 +672,19 @@ def hit_list_batch(entries: list[ReadEntry], idx: GenomeIndex,
         z = np.zeros(0, np.int64)
         return HitBatch(empty32, np.zeros(0, np.int8), empty32, z, empty32,
                         empty32, empty32, empty32, z, z, empty32, empty32)
+    from shrimp_tpu import native
+    _lib = native.load_candidates()
+    if _lib is not None and hasattr(_lib, "hit_list_from_anchors"):
+        return _hit_list_native(_lib, entries, idx, an, options, cfg,
+                                heavy_mp)
+    return _hit_list_numpy(entries, idx, an, options, cfg, heavy_mp)
+
+
+def _hit_list_numpy(entries, idx, an, options, cfg, heavy_mp=None):
+    """Pure-NumPy window generation (fallback + differential oracle for
+    the native path; see tests/test_candidates_native.py)."""
+    n = an.n
+    empty32 = np.zeros(0, np.int32)
     p = cfg.params
     match = p.match
 

@@ -156,3 +156,64 @@ def test_anchors_native_fuzz():
                 ref):
             np.testing.assert_array_equal(a, b, err_msg=(
                 f"trial {trial} field {name} collapse={collapse}"))
+
+
+def test_hit_list_native_vs_numpy():
+    """Differential: native hit_list_from_anchors == the NumPy oracle
+    across match modes, gapless, thresholds, and heavy flags."""
+    import numpy as np
+
+    from shrimp_tpu import dna
+    from shrimp_tpu import index as gindex
+    from shrimp_tpu import native
+    from shrimp_tpu.io import fastx
+    from shrimp_tpu.pipeline import candidates as cand
+    from shrimp_tpu.pipeline import candidates_batch as cb
+    from shrimp_tpu.pipeline.options import MapperConfig
+
+    lib = native.load_candidates()
+    if lib is None or not hasattr(lib, "hit_list_from_anchors"):
+        import pytest
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(17)
+    contigs = [fastx.Contig(name=f"c{i}",
+                            codes=rng.integers(0, 4, ln).astype(np.int8))
+               for i, ln in enumerate((9000, 150, 4000))]
+    idx = gindex.build_index(contigs)
+    genome = np.concatenate([c.codes for c in contigs])
+    cfg = MapperConfig(qual_delta=64)
+    reads = []
+    for i in range(64):
+        p = int(rng.integers(0, len(genome) - 55))
+        r = genome[p:p + 50].copy()
+        mut = rng.random(50) < 0.06
+        r[mut] = (r[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        if rng.random() < 0.5:
+            r = dna.reverse_complement(r)
+        reads.append((f"r{i}", dna.decode(r), "I" * 50))
+    entries = cand.prepare_reads(reads, cfg, idx.seed_set.min_span)
+
+    from shrimp_tpu.pipeline.options import HitListOptions
+    fields = ("rid", "st", "cn", "g_off", "w_len", "score_window_gen",
+              "matches", "score_max", "anchor_x", "anchor_y",
+              "anchor_length", "anchor_width")
+    for st in (0, 1):
+        ab = cb.anchors_batch(entries, idx, st, collapse=True,
+                              list_cutoff=0xFFFFFFFF,
+                              use_region_counts=False)
+        heavy = rng.random(ab.n) < 0.3
+        for mm, gl, thr, hv in [(1, False, 55.0, None),
+                                (2, False, 55.0, None),
+                                (3, False, 55.0, heavy),
+                                (1, True, 55.0, None),
+                                (2, False, -40.0, None),
+                                (2, False, 90.0, None)]:
+            opts = HitListOptions(gapless=gl, match_mode=mm,
+                                  threshold=thr)
+            got = cb._hit_list_native(lib, entries, idx, ab, opts, cfg, hv)
+            want = cb._hit_list_numpy(entries, idx, ab, opts, cfg, hv)
+            assert len(got.rid) == len(want.rid), (mm, gl, thr)
+            for f in fields:
+                assert np.array_equal(getattr(got, f), getattr(want, f)), \
+                    (mm, gl, thr, f)
