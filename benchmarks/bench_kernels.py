@@ -97,6 +97,15 @@ def main():
         t = _time(lambda a, b: sw_vector_pallas.sw_score_batch_pallas(
             a, b, params), gj, rj, reps=args.reps)
         rows.append(("pass1/pallas", cells1, t))
+        # CS contract: row-0 genome plane (sw-vector.c:111-147)
+        g0 = jnp.asarray(rng.integers(0, 4, g.shape).astype(np.int8))
+        csp = SWParams.colour_space()
+        t = _time(lambda a, b, c: sw_vector.sw_score_batch(
+            a, b, csp, genome_row0=c), gj, rj, g0, reps=args.reps)
+        rows.append(("pass1cs/scan", cells1, t))
+        t = _time(lambda a, b, c: sw_vector_pallas.sw_score_batch_pallas(
+            a, b, csp, genome_row0=c), gj, rj, g0, reps=args.reps)
+        rows.append(("pass1cs/pallas", cells1, t))
 
     # gapless: diagonal rows, one row per window
     diag = jnp.asarray(np.concatenate(
