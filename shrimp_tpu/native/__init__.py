@@ -169,6 +169,17 @@ def load_candidates() -> ctypes.CDLL | None:
         i64p, c_ll,                             # contig_offsets, n_contigs
         ctypes.c_int, ctypes.c_int,             # collapse, shift
         i32p, i64p, i32p, i32p, i32p, i32p]     # out rid,x,y,ln,wt,cn
+    lib.anchors_from_csr_rm.restype = c_ll
+    lib.anchors_from_csr_rm.argtypes = [
+        i64p, i64p, i32p, i32p, i32p, i32p,     # fl, base, rows, kcols,
+        c_ll, c_ll,                             #   spans, seedno; n_lists,
+        i64p,                                   #   max_read_total; minpos
+        ctypes.POINTER(u32p2),                  # positions (per seed)
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # use_region, bits, ovl
+        i64p, c_ll,                             # rlen, max_rlen
+        i64p, c_ll,                             # contig_offsets, n_contigs
+        ctypes.c_int,                           # collapse
+        i32p, i64p, i32p, i32p, i32p, i32p]     # out rid,x,y,ln,wt,cn
     lib.hit_list_from_anchors.restype = c_ll
     lib.hit_list_from_anchors.argtypes = [
         i32p, i8p2, i64p, i32p, i32p, i32p, i32p, u8p, c_ll,

@@ -640,3 +640,207 @@ long long hit_list_from_anchors(
     }
     return n_out;
 }
+
+/* ------------------------------------------------------------------ *
+ * Read-major fused L3 (anchors_from_csr_rm): the same expansion +
+ * has-2 region pruning + stable sort + collapse, but processed one
+ * READ at a time.  Lists arrive grouped by read (any seed order inside
+ * a read, matching the global expansion's per-read tie order), so each
+ * read's ~10^4-10^6 postings are expanded, sorted (8-bit LSD radix on
+ * the 32-bit genome position — in L2, no DRAM scatter), pruned,
+ * collapsed, and appended to the output in one cache-resident pass.
+ * Byte-identical to anchors_from_csr: a global stable (rid, x) sort of
+ * rid-grouped input == concatenated per-read stable x sorts.
+ * Requires total genome length < 2^32 (caller guards). */
+
+typedef struct {
+    uint32_t x;
+    int32_t y;
+    int32_t ln;
+} rm_rec;
+
+static __thread rm_rec *rm_a = 0, *rm_b = 0;
+static __thread long long rm_cap = 0;
+
+static int rm_ensure(long long n)
+{
+    if (rm_cap >= n)
+        return 0;
+    free(rm_a);
+    free(rm_b);
+    rm_cap = n + n / 4 + 64;
+    rm_a = (rm_rec *)malloc((size_t)rm_cap * sizeof(rm_rec));
+    rm_b = (rm_rec *)malloc((size_t)rm_cap * sizeof(rm_rec));
+    if (!rm_a || !rm_b) {
+        free(rm_a); free(rm_b);
+        rm_a = rm_b = 0; rm_cap = 0;
+        return -1;
+    }
+    return 0;
+}
+
+static void rm_sort(long long m, uint32_t max_x)
+{
+    int64_t counts[256];
+    int passes = 1, p;
+    long long i;
+    rm_rec *src = rm_a, *dst = rm_b, *tmp;
+    while (passes < 4 && (max_x >> (8 * passes)) != 0)
+        passes++;
+    for (p = 0; p < passes; p++) {
+        int sh = 8 * p;
+        memset(counts, 0, sizeof(counts));
+        for (i = 0; i < m; i++)
+            counts[(src[i].x >> sh) & 0xFF]++;
+        {
+            int64_t acc = 0, c;
+            int d;
+            for (d = 0; d < 256; d++) {
+                c = counts[d];
+                counts[d] = acc;
+                acc += c;
+            }
+        }
+        for (i = 0; i < m; i++)
+            dst[counts[(src[i].x >> sh) & 0xFF]++] = src[i];
+        tmp = src; src = dst; dst = tmp;
+    }
+    if (src != rm_a)
+        memcpy(rm_a, src, (size_t)m * sizeof(rm_rec));
+}
+
+long long anchors_from_csr_rm(
+    const int64_t *fl, const int64_t *base, const int32_t *rows,
+    const int32_t *kcols, const int32_t *spans, const int32_t *seedno,
+    long long n_lists, long long max_read_total,
+    const int64_t *minpos,
+    const uint32_t **positions,
+    int use_region, int region_bits, int region_overlap,
+    const int64_t *rlen, long long max_rlen,
+    const int64_t *contig_offsets, long long n_contigs,
+    int collapse,
+    int32_t *out_rid, int64_t *out_x, int32_t *out_y,
+    int32_t *out_ln, int32_t *out_wt, int32_t *out_cn)
+{
+    long long li = 0, n_out = 0;
+    uint32_t rmask = ((uint32_t)1 << region_bits) - 1;
+
+    if (n_lists == 0)
+        return 0;
+    if (rm_ensure(max_read_total) < 0 || ensure_slot_cap(max_rlen) < 0)
+        return -1;
+
+    while (li < n_lists) {
+        int32_t r = rows[li];
+        long long m = 0, i;
+        uint32_t max_x = 0;
+        int64_t R = rlen[r];
+        int64_t cp = 0;
+
+        /* expand this read's lists */
+        for (; li < n_lists && rows[li] == r; li++) {
+            int64_t j, L = fl[li], b = base[li];
+            const uint32_t *pos = positions[seedno[li]];
+            int32_t y = (int32_t)(kcols[li] + minpos[r]);
+            int32_t ln = spans[li];
+            for (j = 0; j < L; j++) {
+                uint32_t xx = pos[b + j];
+                rm_a[m].x = xx;
+                rm_a[m].y = y;
+                rm_a[m].ln = ln;
+                if (xx > max_x)
+                    max_x = xx;
+                m++;
+            }
+        }
+        if (m == 0)
+            continue;
+        rm_sort(m, max_x);
+
+        if (use_region) {
+            /* per-read (region) group scan over sorted x; rm_b is free
+             * after the sort and holds the group table */
+            reg_group *grp = (reg_group *)rm_b;
+            long long ng = 0, w = 0, g = 0;
+            for (i = 0; i < m; i++) {
+                uint64_t gkey = rm_a[i].x >> region_bits;
+                if (ng == 0 || grp[ng - 1].gkey != gkey) {
+                    grp[ng].gkey = gkey;
+                    grp[ng].n = 0;
+                    grp[ng].p = 0;
+                    ng++;
+                }
+                grp[ng - 1].n++;
+                if ((rm_a[i].x & rmask) < (uint32_t)region_overlap
+                    && grp[ng - 1].p == grp[ng - 1].n - 1)
+                    grp[ng - 1].p++;
+            }
+            for (i = 0; i < m; i++) {
+                uint64_t gkey = rm_a[i].x >> region_bits;
+                uint32_t off = rm_a[i].x & rmask;
+                int64_t cnt, keepit;
+                while (grp[g].gkey != gkey)
+                    g++;
+                cnt = grp[g].n;
+                if (g + 1 < ng && grp[g + 1].gkey == gkey + 1)
+                    cnt += grp[g + 1].p;
+                keepit = cnt >= 2;
+                if (!keepit && off < (uint32_t)region_overlap
+                    && gkey > 0) {
+                    int64_t pcnt = grp[g].p;
+                    if (g > 0 && grp[g - 1].gkey == gkey - 1)
+                        pcnt += grp[g - 1].n;
+                    keepit = pcnt >= 2;
+                }
+                if (keepit)
+                    rm_a[w++] = rm_a[i];
+            }
+            m = w;
+            if (m == 0)
+                continue;
+        }
+
+        /* per-read slot-cache collapse + contig resolve (the
+         * collapse_walk semantics with a fixed rid) */
+        if (R < 1)
+            R = 1;
+        tls_epoch++;
+        for (i = 0; i < m; i++) {
+            int64_t xi = (int64_t)rm_a[i].x;
+            int32_t yi = rm_a[i].y, li_ = rm_a[i].ln;
+            int64_t diag, slot, ext;
+            int32_t cn;
+            while (cp + 1 < n_contigs && xi >= contig_offsets[cp + 1])
+                cp++;
+            cn = (int32_t)cp;
+            ext = xi + li_;
+            if (!collapse) {
+                out_rid[n_out] = r; out_x[n_out] = xi;
+                out_y[n_out] = yi; out_ln[n_out] = li_;
+                out_wt[n_out] = 1; out_cn[n_out] = cn;
+                n_out++;
+                continue;
+            }
+            diag = xi - yi;
+            slot = (xi + R - yi) % R;
+            if (tls_slot_epoch[slot] == tls_epoch
+                && tls_slot_diag[slot] == diag
+                && tls_slot_cn[slot] == cn) {
+                int64_t oi = tls_slot_out[slot];
+                out_wt[oi]++;
+                if (ext > out_x[oi] + out_ln[oi])
+                    out_ln[oi] = (int32_t)(ext - out_x[oi]);
+            } else {
+                out_rid[n_out] = r; out_x[n_out] = xi;
+                out_y[n_out] = yi; out_ln[n_out] = li_;
+                out_wt[n_out] = 1; out_cn[n_out] = cn;
+                tls_slot_epoch[slot] = tls_epoch;
+                tls_slot_diag[slot] = diag;
+                tls_slot_cn[slot] = cn;
+                tls_slot_out[slot] = n_out;
+                n_out++;
+            }
+        }
+    }
+    return n_out;
+}

@@ -433,19 +433,45 @@ def _anchors_fused(entries, idx, st: int, collapse: bool,
     out_ln = np.empty(total, np.int32)
     out_wt = np.empty(total, np.int32)
     out_cn = np.empty(total, np.int32)
-    n_out = lib.anchors_from_csr(
-        fl.ctypes.data_as(i64p), base.ctypes.data_as(i64p),
-        rows.ctypes.data_as(i32p), kcols.ctypes.data_as(i32p),
-        spans.ctypes.data_as(i32p), seedno.ctypes.data_as(i32p),
-        len(fl), total,
-        minpos.ctypes.data_as(i64p), pos_ptrs,
-        1 if use_region_counts else 0, REGION_BITS, REGION_OVERLAP,
-        rlen.ctypes.data_as(i64p), int(rlen.max()),
-        coffs.ctypes.data_as(i64p), len(coffs),
-        1 if collapse else 0, shift,
-        out_rid.ctypes.data_as(i32p), out_x.ctypes.data_as(i64p),
-        out_y.ctypes.data_as(i32p), out_ln.ctypes.data_as(i32p),
-        out_wt.ctypes.data_as(i32p), out_cn.ctypes.data_as(i32p))
+    import os as _os
+    if total_len < (1 << 32) and hasattr(lib, "anchors_from_csr_rm") \
+            and not _os.environ.get("SHRIMP_TPU_NO_RM"):
+        # read-major variant: regroup lists by read so each read's
+        # postings sort/prune/collapse in cache (no DRAM radix scatter);
+        # stable regrouping preserves the per-read tie order, so output
+        # is byte-identical to the global (rid, x) sort
+        order = np.argsort(rows, kind="stable")
+        fl, base, rows, kcols, spans, seedno = (
+            np.ascontiguousarray(a[order])
+            for a in (fl, base, rows, kcols, spans, seedno))
+        per_read = np.bincount(rows, weights=fl, minlength=n_reads)
+        n_out = lib.anchors_from_csr_rm(
+            fl.ctypes.data_as(i64p), base.ctypes.data_as(i64p),
+            rows.ctypes.data_as(i32p), kcols.ctypes.data_as(i32p),
+            spans.ctypes.data_as(i32p), seedno.ctypes.data_as(i32p),
+            len(fl), int(per_read.max()),
+            minpos.ctypes.data_as(i64p), pos_ptrs,
+            1 if use_region_counts else 0, REGION_BITS, REGION_OVERLAP,
+            rlen.ctypes.data_as(i64p), int(rlen.max()),
+            coffs.ctypes.data_as(i64p), len(coffs),
+            1 if collapse else 0,
+            out_rid.ctypes.data_as(i32p), out_x.ctypes.data_as(i64p),
+            out_y.ctypes.data_as(i32p), out_ln.ctypes.data_as(i32p),
+            out_wt.ctypes.data_as(i32p), out_cn.ctypes.data_as(i32p))
+    else:
+        n_out = lib.anchors_from_csr(
+            fl.ctypes.data_as(i64p), base.ctypes.data_as(i64p),
+            rows.ctypes.data_as(i32p), kcols.ctypes.data_as(i32p),
+            spans.ctypes.data_as(i32p), seedno.ctypes.data_as(i32p),
+            len(fl), total,
+            minpos.ctypes.data_as(i64p), pos_ptrs,
+            1 if use_region_counts else 0, REGION_BITS, REGION_OVERLAP,
+            rlen.ctypes.data_as(i64p), int(rlen.max()),
+            coffs.ctypes.data_as(i64p), len(coffs),
+            1 if collapse else 0, shift,
+            out_rid.ctypes.data_as(i32p), out_x.ctypes.data_as(i64p),
+            out_y.ctypes.data_as(i32p), out_ln.ctypes.data_as(i32p),
+            out_wt.ctypes.data_as(i32p), out_cn.ctypes.data_as(i32p))
     if n_out < 0:
         return None
     st_col = np.full(n_out, st, np.int8)

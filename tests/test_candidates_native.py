@@ -217,3 +217,60 @@ def test_hit_list_native_vs_numpy():
             for f in fields:
                 assert np.array_equal(getattr(got, f), getattr(want, f)), \
                     (mm, gl, thr, f)
+
+
+def test_anchors_read_major_vs_global_sort():
+    """The read-major fused L3 (anchors_from_csr_rm, per-read in-cache
+    sort) is byte-identical to the global (rid, x)-sort path across
+    region pruning / collapse / strand."""
+    import os
+
+    import numpy as np
+
+    from shrimp_tpu import dna
+    from shrimp_tpu import index as gindex
+    from shrimp_tpu import native
+    from shrimp_tpu.io import fastx
+    from shrimp_tpu.pipeline import candidates as cand
+    from shrimp_tpu.pipeline import candidates_batch as cb
+    from shrimp_tpu.pipeline.options import MapperConfig
+
+    lib = native.load_candidates()
+    if lib is None or not hasattr(lib, "anchors_from_csr_rm"):
+        import pytest
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(23)
+    contigs = [fastx.Contig(name=f"c{i}",
+                            codes=rng.integers(0, 4, ln).astype(np.int8))
+               for i, ln in enumerate((30000, 500, 12000))]
+    idx = gindex.build_index(contigs)
+    genome = np.concatenate([c.codes for c in contigs])
+    cfg = MapperConfig(qual_delta=64)
+    reads = []
+    for i in range(96):
+        p = int(rng.integers(0, len(genome) - 55))
+        r = genome[p:p + 50].copy()
+        mut = rng.random(50) < 0.08
+        r[mut] = (r[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        if rng.random() < 0.5:
+            r = dna.reverse_complement(r)
+        reads.append((f"r{i}", dna.decode(r), "I" * 50))
+    entries = cand.prepare_reads(reads, cfg, idx.seed_set.min_span)
+
+    for use_region in (True, False):
+        for collapse in (True, False):
+            for st in (0, 1):
+                new = cb._anchors_fused(entries, idx, st, collapse,
+                                        0xFFFFFFFF, use_region)
+                os.environ["SHRIMP_TPU_NO_RM"] = "1"
+                try:
+                    old = cb._anchors_fused(entries, idx, st, collapse,
+                                            0xFFFFFFFF, use_region)
+                finally:
+                    del os.environ["SHRIMP_TPU_NO_RM"]
+                for f in ("rid", "st", "x", "y", "length", "weight",
+                          "cn"):
+                    assert np.array_equal(getattr(new, f),
+                                          getattr(old, f)), \
+                        (use_region, collapse, st, f)
