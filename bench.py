@@ -30,9 +30,11 @@ GENOME_BP = int(float(os.environ.get("SHRIMP_BENCH_GBP", "1")) * 1e9)
 N_READS = 16384
 READ_LEN = 50
 BATCH = 2048
+# cache key carries the exact bp count so nearby sizes never collide
+# (the historical names for the two standard sizes are kept)
+_CACHE_NAMES = {10**9: "bench1g_v1", 3_100_000_000: "bench3g1_v1"}
 CACHE = os.path.join(os.path.expanduser("~"), ".cache", "shrimp_tpu",
-                     f"bench{GENOME_BP // 10**9}g{(GENOME_BP % 10**9) // 10**8}_v1"
-                     if GENOME_BP != 10**9 else "bench1g_v1")
+                     _CACHE_NAMES.get(GENOME_BP, f"bench{GENOME_BP}bp_v1"))
 
 
 def make_genome(rng):

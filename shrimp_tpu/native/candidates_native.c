@@ -670,7 +670,9 @@ static int rm_ensure(long long n)
     free(rm_b);
     rm_cap = n + n / 4 + 64;
     rm_a = (rm_rec *)malloc((size_t)rm_cap * sizeof(rm_rec));
-    rm_b = (rm_rec *)malloc((size_t)rm_cap * sizeof(rm_rec));
+    /* rm_b doubles as the radix tmp (rm_rec) AND the per-read region
+     * group table (reg_group, 16B > 12B) — size it for the larger */
+    rm_b = (rm_rec *)malloc((size_t)rm_cap * sizeof(reg_group));
     if (!rm_a || !rm_b) {
         free(rm_a); free(rm_b);
         rm_a = rm_b = 0; rm_cap = 0;

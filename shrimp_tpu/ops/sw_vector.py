@@ -249,4 +249,7 @@ def sw_score_engine(genome, read, params: SWParams = SWParams(),
         return sw_score_batch_pallas(genome, read, params,
                                      genome_row0=genome_row0,
                                      interpret=interpret)
+    if engine != "scan":
+        raise ValueError(f"unknown pass-1 engine {engine!r}; expected "
+                         f"one of {PASS1_ENGINES}")
     return sw_score_batch(genome, read, params, genome_row0=genome_row0)

@@ -47,7 +47,34 @@ def build_z1_psum(mesh: Mesh):
     return jax.jit(fn)
 
 
-class MeshMapper:
+class _ShardAggregates:
+    """Shared stats/telemetry aggregation over per-shard mappers."""
+
+    @property
+    def stats(self):
+        """Aggregated per-shard funnel counters."""
+        agg: dict = {}
+        for m in self.mappers:
+            for k, v in m.stats.items():
+                agg[k] = agg.get(k, 0) + v
+        return agg
+
+    @property
+    def tel(self):
+        """Aggregated kernel/stage telemetry across shards."""
+        from shrimp_tpu.utils import telemetry
+        t = telemetry.Telemetry()
+        for m in self.mappers:
+            for name in ("f1", "f2", "fwbw"):
+                ks = getattr(m.tel, name)
+                getattr(t, name).add(ks.invocs, ks.cells, ks.secs)
+            t.f1_calls_bypassed += m.tel.f1_calls_bypassed
+            for sname, st in m.tel.stages.items():
+                t.stages[sname].secs += st.secs
+        return t
+
+
+class MeshMapper(_ShardAggregates):
     """Maps reads against S genome-index shards on a device mesh."""
 
     def __init__(self, indexes, cfg: MapperConfig | None = None,
@@ -167,28 +194,6 @@ class MeshMapper:
             out[int(live_map[li])] = (entries[live_map[li]], merged)
         return out
 
-    @property
-    def stats(self):
-        """Aggregated per-shard funnel counters."""
-        agg: dict = {}
-        for m in self.mappers:
-            for k, v in m.stats.items():
-                agg[k] = agg.get(k, 0) + v
-        return agg
-
-    @property
-    def tel(self):
-        """Aggregated kernel/stage telemetry across shards."""
-        from shrimp_tpu.utils import telemetry
-        t = telemetry.Telemetry()
-        for m in self.mappers:
-            for name in ("f1", "f2", "fwbw"):
-                ks = getattr(m.tel, name)
-                getattr(t, name).add(ks.invocs, ks.cells, ks.secs)
-            for sname, st in m.tel.stages.items():
-                t.stages[sname].secs += st.secs
-        return t
-
     def contig_name(self, sn: int, cn: int) -> str:
         return self.mappers[sn].index.contig_names[cn]
 
@@ -241,7 +246,7 @@ def split_index_shards(contigs, n_shards: int, seed_set=None,
             for b in bins if b]
 
 
-class MeshPairedMapper:
+class MeshPairedMapper(_ShardAggregates):
     """Paired-end mapping against S genome-index shards on a device mesh.
 
     The mesh form of the reference's paired cluster workflow: every shard
@@ -261,12 +266,21 @@ class MeshPairedMapper:
 
     def __init__(self, indexes, cfg: MapperConfig | None = None,
                  pcfg=None, mesh: Mesh | None = None):
+        import dataclasses
+
         from shrimp_tpu.pipeline.paired import PairedConfig, PairedMapper
         self.cfg = cfg or MapperConfig()
         if self.cfg.device_candidates == "auto":
             self.cfg.device_candidates = False
         self.pcfg = pcfg or PairedConfig()
-        self.mappers = [PairedMapper(idx, self.cfg, self.pcfg)
+        # shard funnels must NOT apply the global selection policies
+        # (--strata / --max-alignments act on the CROSS-shard candidate
+        # set, like mergesam's policies): a shard-local drop would differ
+        # from the single-index run.  The merge below applies them from
+        # the original cfg.
+        self._shard_cfg = dataclasses.replace(
+            self.cfg, strata=False, max_alignments=0)
+        self.mappers = [PairedMapper(idx, self._shard_cfg, self.pcfg)
                         for idx in indexes]
         self.S = len(indexes)
         if mesh is None:
@@ -305,9 +319,16 @@ class MeshPairedMapper:
                    else self.mappers[0].default_paired_sets()[0]["pairing"])
         thr = pairing["pass2_threshold"]
         K = pairing["pass2_num_outputs"]
+        # shard funnels ran with strata/max-alignments neutralized (see
+        # __init__); the defaults-path merge applies the user's values
+        merge_strata = (pairing["strata"] if option_sets
+                        else self.cfg.strata)
 
         nP = len(pairs)
         out = []
+        check_collective = (self.S > 1 and cfg.compute_mapping_qualities
+                            and not getattr(self, "_z_collective_checked",
+                                            False))
         z3_local = np.zeros((self.S, nP), np.float64)
         z6_local = np.zeros((self.S, nP), np.float64)
         for pi in range(nP):
@@ -328,7 +349,7 @@ class MeshPairedMapper:
 
             tagged_pairs.sort(key=lambda t: -pkey(t))
             tagged_pairs = tagged_pairs[:K]
-            if pairing["strata"] and tagged_pairs:
+            if merge_strata and tagged_pairs:
                 top = (tagged_pairs[0][1].score_full
                        + tagged_pairs[0][2].score_full)
                 tagged_pairs = [t for t in tagged_pairs
@@ -361,26 +382,29 @@ class MeshPairedMapper:
             pr.unpaired_hits = [(nip, fh) for _, nip, fh in tagged_unp]
             if cfg.compute_mapping_qualities:
                 self._merge_mapper._paired_mqv(pr)
-            # per-shard z sums for the collective (the quantities
-            # _paired_mqv just summed serially over the same post-merge
-            # hits): z3_s over UNIQUE foot-0 groups (z2 is per-foot, a
-            # foot paired with several mates appears once), z6_s over
-            # pairs (the insert-prior denominator)
-            seen0 = set()
-            for s, fh0, fh1, isz in tagged_pairs:
-                if id(fh0) not in seen0:
-                    seen0.add(id(fh0))
-                    z3_local[s, pi] += fh0.z2
-                z6_local[s, pi] += mapq.get_pr_insert_size(
-                    isz, self.pcfg.insert_size_mean,
-                    self.pcfg.insert_size_stddev)
+            # per-shard z sums for the collective self-check (first
+            # batch only): z3_s over UNIQUE foot-0 groups (z2 is
+            # per-foot, a foot paired with several mates appears once),
+            # z6_s over pairs (the insert-prior denominator)
+            if check_collective:
+                seen0 = set()
+                for s, fh0, fh1, isz in tagged_pairs:
+                    if id(fh0) not in seen0:
+                        seen0.add(id(fh0))
+                        z3_local[s, pi] += fh0.z2
+                    z6_local[s, pi] += mapq.get_pr_insert_size(
+                        isz, self.pcfg.insert_size_mean,
+                        self.pcfg.insert_size_stddev)
             out.append((pr, tagged_pairs, tagged_unp))
 
         # ---- the collective form of the Part-2c sums: z3 := Σ_s z3_s,
         # z6 := Σ_s z6_s as a psum over the genome mesh axis, float64
-        # carried as a hi/lo float32 pair; the serial sums inside
-        # _paired_mqv are the authoritative (and equal) values ----
-        if nP and self.S > 1:
+        # carried as a hi/lo float32 pair.  The serial sums inside
+        # _paired_mqv are authoritative and equal; this exercises the
+        # mesh collective once per mapper (not per batch) as a
+        # self-check, like dryrun_multichip's proof obligations. ----
+        if check_collective and nP:
+            self._z_collective_checked = True
             from jax.sharding import PartitionSpec
             sharding = NamedSharding(self._zmesh,
                                      PartitionSpec(GENOME_AXIS, None))
@@ -425,22 +449,3 @@ class MeshPairedMapper:
             return self.mappers[0].sam_records_pair(pr)
         return recs
 
-    @property
-    def stats(self):
-        agg: dict = {}
-        for m in self.mappers:
-            for k, v in m.stats.items():
-                agg[k] = agg.get(k, 0) + v
-        return agg
-
-    @property
-    def tel(self):
-        from shrimp_tpu.utils import telemetry
-        t = telemetry.Telemetry()
-        for m in self.mappers:
-            for name in ("f1", "f2", "fwbw"):
-                ks = getattr(m.tel, name)
-                getattr(t, name).add(ks.invocs, ks.cells, ks.secs)
-            for sname, st in m.tel.stages.items():
-                t.stages[sname].secs += st.secs
-        return t

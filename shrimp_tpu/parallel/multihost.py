@@ -182,15 +182,9 @@ def main(argv=None) -> int:
             _time.sleep(0.2)
         names = [r.name for r in fastx.iter_reads(reads_path, fastq=fastq)]
         if paired:
-            # paired SAM lines carry the common-prefix-trimmed qname
-            # (hit_output, output.c:371-387) — order by the same key
-            def common_qname(n1: str, n2: str) -> str:
-                i = 0
-                while i < min(len(n1), len(n2)) and n1[i] == n2[i]:
-                    i += 1
-                if i > 0 and i <= len(n1) and n1[i - 1] in ":/":
-                    i -= 1
-                return n1[:i]
+            # paired SAM lines carry the common-prefix-trimmed qname —
+            # order by the same key the emitter used
+            from shrimp_tpu.pipeline.paired import common_qname
             names = [common_qname(names[i], names[i + 1])
                      for i in range(0, len(names) - 1, 2)]
         concat_rank_outputs(out, num_processes, reads_order=names)

@@ -197,41 +197,51 @@ class Mapper:
         kernel would run interpreted)."""
         if self._pass1_engine is not None:
             return self._pass1_engine
-        import os as _os
+        # the pipelined streams call this from two worker threads; only
+        # one may run the 3-engine timing benchmark (check-then-act under
+        # the same lock discipline as the stats counters)
+        with self._stats_lock:
+            if self._pass1_engine is not None:
+                return self._pass1_engine
+            import os as _os
 
-        import jax
-        choice = (_os.environ.get("SHRIMP_TPU_PASS1")
-                  or self.cfg.pass1_engine or "auto")
-        if choice != "auto":
-            self._pass1_engine = choice
-            return choice
-        if jax.default_backend() != "tpu":
-            self._pass1_engine = "scan"
-            return "scan"
-        rng = np.random.default_rng(0)
-        gb = rng.integers(0, 4, (NB, G)).astype(np.int8)
-        rb = rng.integers(0, 4, (NB, R)).astype(np.int8)
-        row0 = gb if self.cfg.colour_space else None
-        params = self.vect_params
-        best, best_t = "scan", float("inf")
-        for eng in sw_vector.PASS1_ENGINES:
-            try:
-                out = sw_vector.sw_score_engine(gb, rb, params,
-                                                genome_row0=row0,
-                                                engine=eng)
-                np.asarray(out)                      # compile + warm
-                t = float("inf")
-                for _ in range(3):                   # tunnel noise: best-of-3
-                    t0 = time.time()
-                    np.asarray(sw_vector.sw_score_engine(
-                        gb, rb, params, genome_row0=row0, engine=eng))
-                    t = min(t, time.time() - t0)
-            except Exception:
-                continue
-            if t < best_t:
-                best, best_t = eng, t
-        self._pass1_engine = best
-        return best
+            import jax
+            choice = (_os.environ.get("SHRIMP_TPU_PASS1")
+                      or self.cfg.pass1_engine or "auto")
+            if choice != "auto":
+                if choice not in sw_vector.PASS1_ENGINES:
+                    raise ValueError(
+                        f"unknown pass-1 engine {choice!r}; expected one "
+                        f"of {sw_vector.PASS1_ENGINES} or 'auto'")
+                self._pass1_engine = choice
+                return choice
+            if jax.default_backend() != "tpu":
+                self._pass1_engine = "scan"
+                return "scan"
+            rng = np.random.default_rng(0)
+            gb = rng.integers(0, 4, (NB, G)).astype(np.int8)
+            rb = rng.integers(0, 4, (NB, R)).astype(np.int8)
+            row0 = gb if self.cfg.colour_space else None
+            params = self.vect_params
+            best, best_t = "scan", float("inf")
+            for eng in sw_vector.PASS1_ENGINES:
+                try:
+                    out = sw_vector.sw_score_engine(gb, rb, params,
+                                                    genome_row0=row0,
+                                                    engine=eng)
+                    np.asarray(out)                  # compile + warm
+                    t = float("inf")
+                    for _ in range(3):               # tunnel noise: best-of-3
+                        t0 = time.time()
+                        np.asarray(sw_vector.sw_score_engine(
+                            gb, rb, params, genome_row0=row0, engine=eng))
+                        t = min(t, time.time() - t0)
+                except Exception:
+                    continue
+                if t < best_t:
+                    best, best_t = eng, t
+            self._pass1_engine = best
+            return best
 
     def _pass1_dev_ok(self) -> bool:
         """Device-side pass-1 window gather eligibility (LS, genome plane

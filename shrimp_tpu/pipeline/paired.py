@@ -103,6 +103,17 @@ def compute_mp_deltas(pair_mode: int, rlen1: int, wlen1: int,
     return d1, d2
 
 
+def common_qname(name1: str, name2: str) -> str:
+    """Common-prefix qname trimming of a pair's read names — the SAM
+    QNAME both mates share (hit_output, output.c:371-387)."""
+    i = 0
+    while i < min(len(name1), len(name2)) and name1[i] == name2[i]:
+        i += 1
+    if i > 0 and i <= len(name1) and name1[i - 1] in ":/":
+        i -= 1
+    return name1[:i]
+
+
 def get_insert_size(fh1: FinalHit, fh2: FinalHit, contig_len1: int,
                     contig_len2: int, cn_equal: bool) -> int:
     """5'-to-5' insert size (get_insert_size, mapping.c:421-474)."""
@@ -1259,13 +1270,7 @@ class PairedMapper(Mapper):
         return lines
 
     def _common_qname(self, name1: str, name2: str) -> str:
-        """Common-prefix qname trimming (hit_output, output.c:371-387)."""
-        i = 0
-        while i < min(len(name1), len(name2)) and name1[i] == name2[i]:
-            i += 1
-        if i > 0 and i <= len(name1) and name1[i - 1] in ":/":
-            i -= 1
-        return name1[:i]
+        return common_qname(name1, name2)
 
     def _hit_coords(self, fh: FinalHit, cn: int):
         contig_len = int(self.index.contig_len[cn])

@@ -18,10 +18,14 @@ import os
 from types import SimpleNamespace
 
 
-def run_gmapper(args, cwd: str | None = None, **_ignored):
+def run_gmapper(args, cwd: str | None = None, **kw):
     """Run the gmapper CLI in-process; mirrors
     subprocess.run([python, -m, shrimp_tpu.gmapper] + args,
     capture_output=True, text=True)."""
+    if kw:
+        # env=/input=/timeout= need the true-subprocess interface; fail
+        # loudly rather than run against the ambient process state
+        raise TypeError(f"run_gmapper cannot emulate kwargs: {sorted(kw)}")
     from shrimp_tpu import gmapper
 
     so, se = io.StringIO(), io.StringIO()
@@ -42,9 +46,11 @@ def run_gmapper(args, cwd: str | None = None, **_ignored):
                            stderr=se.getvalue())
 
 
-def run_module(mod: str, args, cwd: str | None = None, **_ignored):
+def run_module(mod: str, args, cwd: str | None = None, **kw):
     """Run any shrimp_tpu tool CLI (module with main(argv)->int)
     in-process; mirrors subprocess.run([python, -m, mod] + args)."""
+    if kw:
+        raise TypeError(f"run_module cannot emulate kwargs: {sorted(kw)}")
     import importlib
 
     m = importlib.import_module(mod)

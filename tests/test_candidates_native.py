@@ -274,3 +274,52 @@ def test_anchors_read_major_vs_global_sort():
                     assert np.array_equal(getattr(new, f),
                                           getattr(old, f)), \
                         (use_region, collapse, st, f)
+
+
+def test_anchors_read_major_many_regions():
+    """Stress the per-read region group table: a read whose postings
+    scatter over ~1 region each (group count ~= posting count) must not
+    overflow the scratch buffer (regression: reg_group is 16B vs the
+    12B record slots) and must match the global-sort path."""
+    import os
+
+    import numpy as np
+
+    from shrimp_tpu import dna
+    from shrimp_tpu import index as gindex
+    from shrimp_tpu import native
+    from shrimp_tpu.io import fastx
+    from shrimp_tpu.pipeline import candidates as cand
+    from shrimp_tpu.pipeline import candidates_batch as cb
+    from shrimp_tpu.pipeline.options import MapperConfig
+
+    lib = native.load_candidates()
+    if lib is None or not hasattr(lib, "anchors_from_csr_rm"):
+        import pytest
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(41)
+    # a 6 Mbp genome with one 50bp cassette planted once per ~2.5kb:
+    # every kmer of a cassette-read posts ~2400 positions, one per region
+    cassette = rng.integers(0, 4, 50).astype(np.int8)
+    g = rng.integers(0, 4, 6_000_000).astype(np.int8)
+    step = 2500
+    for p in range(0, len(g) - 60, step):
+        g[p:p + 50] = cassette
+    idx = gindex.build_index([fastx.Contig(name="c0", codes=g)])
+    cfg = MapperConfig(qual_delta=64)
+    reads = [("r0", dna.decode(cassette), "I" * 50),
+             ("r1", dna.decode(dna.reverse_complement(cassette)),
+              "I" * 50)]
+    entries = cand.prepare_reads(reads, cfg, idx.seed_set.min_span)
+    for st in (0, 1):
+        new = cb._anchors_fused(entries, idx, st, True, 0xFFFFFFFF, True)
+        os.environ["SHRIMP_TPU_NO_RM"] = "1"
+        try:
+            old = cb._anchors_fused(entries, idx, st, True, 0xFFFFFFFF,
+                                    True)
+        finally:
+            del os.environ["SHRIMP_TPU_NO_RM"]
+        assert new.n > 1000
+        for f in ("rid", "st", "x", "y", "length", "weight", "cn"):
+            assert np.array_equal(getattr(new, f), getattr(old, f)), f
