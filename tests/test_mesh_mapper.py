@@ -169,3 +169,35 @@ def test_mesh_paired_equals_single_device():
     assert len(want) == len(got), (len(want), len(got))
     for w, g in zip(want, got):
         assert w == g, (w, g)
+
+
+@pytest.mark.parametrize("policy", [
+    {"strata": True},
+    {"max_alignments": 2},
+])
+def test_mesh_paired_policies_equal_single(policy):
+    """--strata / --max-alignments act on the CROSS-shard candidate set:
+    shard funnels run them neutralized, the merge applies them — output
+    must equal the single-index run byte-for-byte."""
+    from shrimp_tpu import index as gindex
+    from shrimp_tpu.parallel.mesh import MeshPairedMapper, \
+        split_index_shards
+    from shrimp_tpu.parallel.shard import make_mesh
+    from shrimp_tpu.pipeline.options import MapperConfig
+    from shrimp_tpu.pipeline.paired import PairedConfig, PairedMapper
+
+    contigs, pairs = build_pair_corpus(n_pairs=40, seed=55)
+    whole = gindex.build_index(contigs)
+    shards = split_index_shards(contigs, 4)
+    pc = dict(pair_mode=1, min_insert_size=0, max_insert_size=500)
+
+    single = PairedMapper(whole, MapperConfig(qual_delta=64, **policy),
+                          PairedConfig(**pc))
+    mm = MeshPairedMapper(shards, MapperConfig(qual_delta=64, **policy),
+                          PairedConfig(**pc),
+                          mesh=make_mesh(8, genome_shards=4))
+    want = [rec.line() for pr in single.map_pair_batch(pairs)
+            for rec in single.sam_records_pair(pr)]
+    got = [rec.line() for pr, tp, tu in mm.map_pair_batch(pairs)
+           for rec in mm.sam_records_pair(pr, tp, tu)]
+    assert want == got, (len(want), len(got))
