@@ -215,6 +215,11 @@ def main(argv: list[str] | None = None) -> int:
             score_assignments.append(("b_gap_extend", int(a)))
             user_score_flags.add("b_gap_extend")
         elif o in ("-x", "--crossover"):
+            if not colour:
+                # CS-only option table (DEF_COLOUR_SPACE_OPTIONS,
+                # gmapper-defaults.h:161-167): gmapper-ls rejects it
+                log("error: -x/--crossover is a colour-space option")
+                return 1
             score_assignments.append(("crossover", int(a)))
         elif o in ("-r", "--cmv-threshold", "-v", "--vec-threshold",
                    "-h", "--full-threshold"):
@@ -225,6 +230,11 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
             key = ("r" if o in ("-r", "--cmv-threshold")
                    else "v" if o in ("-v", "--vec-threshold") else "h")
+            if key == "v" and not colour:
+                # CS-only option table (DEF_COLOUR_SPACE_OPTIONS);
+                # gmapper-ls has no -v (fuzz round 6, case 4)
+                log("error: -v/--vec-threshold is a colour-space option")
+                return 1
             thresholds[key] = val
             if key == "v":
                 vec_threshold_set = True
@@ -263,8 +273,15 @@ def main(argv: list[str] | None = None) -> int:
         elif o in ("-P", "--pretty"):
             pflag = True
         elif o in ("-B", "--bfast"):
+            if not colour:
+                log("error: --bfast is a colour-space option")
+                return 1
             cfg.bfast = True
         elif o == "--trim-illumina":
+            if colour:
+                # LS-only option table (DEF_LETTER_SPACE_OPTIONS)
+                log("error: --trim-illumina is a letter-space option")
+                return 1
             trim_illumina = True
         elif o == "--unpaired-options":
             nip, _, rest = a.partition(";")

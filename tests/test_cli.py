@@ -128,3 +128,23 @@ def test_cli_genome_shards_cs_paired_parity():
                  os.path.join(GOLDEN, "golden_genome.fa")])
     assert r.returncode == 0, r.stderr
     assert body(r.stdout) == golden_body("golden_cs_opp-in.sam")
+
+
+def test_cli_mode_gated_options():
+    """Mode-specific option tables (gmapper-defaults.h:161-174): LS
+    rejects -v/-x/--bfast, CS rejects --trim-illumina."""
+    G = GOLDEN
+    ls_args = [os.path.join(G, "golden_reads.fq"),
+               os.path.join(G, "golden_genome.fa")]
+    for bad in (["-v", "60%"], ["-x", "-10"], ["--bfast"]):
+        r = run_cli(["--mode", "ls", "-Q"] + bad + ls_args)
+        assert r.returncode != 0, bad
+    r = run_cli(["--mode", "cs", "-Q", "--trim-illumina",
+                 os.path.join(G, "golden_reads_cs.fq"),
+                 os.path.join(G, "golden_genome.fa")])
+    assert r.returncode != 0
+    # CS -v still works
+    r = run_cli(["--mode", "cs", "-Q", "-v", "60%",
+                 os.path.join(G, "golden_reads_cs.fq"),
+                 os.path.join(G, "golden_genome.fa")])
+    assert r.returncode == 0, r.stderr
