@@ -148,3 +148,15 @@ def test_cli_mode_gated_options():
                  os.path.join(G, "golden_reads_cs.fq"),
                  os.path.join(G, "golden_genome.fa")])
     assert r.returncode == 0, r.stderr
+
+
+def test_cli_threads_deterministic():
+    """-N 4 (batch worker pool) must emit byte-identical SAM to -N 1
+    (ordered reassembly, like the reference's chunk-id output heap)."""
+    args = ["-Q", os.path.join(GOLDEN, "golden_reads.fq"),
+            os.path.join(GOLDEN, "golden_genome.fa"), "-K", "37"]
+    r1 = run_cli(args + ["-N", "1"])
+    r4 = run_cli(args + ["-N", "4"])
+    assert r1.returncode == 0 and r4.returncode == 0
+    assert body(r1.stdout) == body(r4.stdout)
+    assert body(r1.stdout) == golden_body("golden_unpaired.sam")
