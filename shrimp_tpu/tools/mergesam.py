@@ -577,7 +577,9 @@ def read_names(path):
 
 
 def merge(reads_file: str, sam_files: list[str], opts: Options,
-          out=sys.stdout, command_line: str = "") -> None:
+          out=None, command_line: str = "") -> None:
+    if out is None:
+        out = sys.stdout          # resolved at call time, not import time
     names = list(read_names(reads_file))
 
     # parse all files: headers + records bound to read slots
