@@ -769,22 +769,24 @@ def main(argv: list[str] | None = None) -> int:
         section("pg", [f"@PG\tID:gmapper\tVN:{VERSION}\tCL:{cmdline}"])
 
     def build_cli_mesh():
-        from shrimp_tpu.parallel.shard import make_mesh
         import jax as _jax
-        avail = len(_jax.devices())
-        nd = n_devices or avail
-        nd = min(nd, avail)
-        try:
-            return make_mesh(max(nd - nd % genome_shards, genome_shards)
-                             if nd >= genome_shards else genome_shards,
-                             genome_shards=genome_shards)
-        except ValueError:
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+        # local devices ONLY: under jax.distributed (multihost.py) this
+        # host's mesh must not span other processes' non-addressable
+        # devices — cross-host scaling is read-sharding, each host maps
+        # its share against its own genome-shard mesh
+        devs = _jax.local_devices()
+        nd = min(n_devices or len(devs), len(devs))
+        if nd >= genome_shards:
+            nd = max(nd - nd % genome_shards, genome_shards)
+            arr = _np.array(devs[:nd]).reshape(
+                nd // genome_shards, genome_shards)
+        else:
             # fewer devices than shards: replicate devices round-robin
-            devs = (_jax.devices() * genome_shards)[:genome_shards]
-            import numpy as _np
-            from jax.sharding import Mesh as _Mesh
-            return _Mesh(_np.array(devs).reshape(1, genome_shards),
-                         ("reads", "genome"))
+            arr = _np.array((devs * genome_shards)[:genome_shards]) \
+                .reshape(1, genome_shards)
+        return _Mesh(arr, ("reads", "genome"))
 
     pcfg = None
     if pair_mode != 0:

@@ -170,16 +170,19 @@ def main(argv=None) -> int:
     # completion marker + rank-0 assembly.  The barrier is file-based on
     # the shared filesystem (the reference's cluster assumption); the
     # jax.distributed process group above serves device collectives.
+    # EVERY rank waits for all markers (not just rank 0): exiting early
+    # would start the jax.distributed shutdown barrier while slower
+    # ranks still map, tripping its timeout under heavy rank skew.
     with open(rank_out + ".done", "w") as fh:
         fh.write("ok\n")
+    import time as _time
+    deadline = _time.time() + 3600
+    while _time.time() < deadline:
+        if all(os.path.exists(rank_output_path(out, p) + ".done")
+               for p in range(num_processes)):
+            break
+        _time.sleep(0.2)
     if process_id == 0:
-        import time as _time
-        deadline = _time.time() + 3600
-        while _time.time() < deadline:
-            if all(os.path.exists(rank_output_path(out, p) + ".done")
-                   for p in range(num_processes)):
-                break
-            _time.sleep(0.2)
         names = [r.name for r in fastx.iter_reads(reads_path, fastq=fastq)]
         if paired:
             # paired SAM lines carry the common-prefix-trimmed qname —

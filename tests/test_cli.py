@@ -160,3 +160,16 @@ def test_cli_threads_deterministic():
     assert r1.returncode == 0 and r4.returncode == 0
     assert body(r1.stdout) == body(r4.stdout)
     assert body(r1.stdout) == golden_body("golden_unpaired.sam")
+
+
+def test_cli_engine_forced_rows_byte_exact():
+    """SHRIMP_TPU_PASS1=rows through the CLI: engine choice can never
+    change output."""
+    os.environ["SHRIMP_TPU_PASS1"] = "rows"
+    try:
+        r = run_cli(["-Q", os.path.join(GOLDEN, "golden_reads.fq"),
+                     os.path.join(GOLDEN, "golden_genome.fa")])
+    finally:
+        del os.environ["SHRIMP_TPU_PASS1"]
+    assert r.returncode == 0, r.stderr
+    assert body(r.stdout) == golden_body("golden_unpaired.sam")
