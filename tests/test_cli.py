@@ -23,7 +23,7 @@ def test_cli_subprocess_smoke():
         [sys.executable, "-m", "shrimp_tpu.gmapper", "-Q",
          os.path.join(GOLDEN, "golden_reads.fq"),
          os.path.join(GOLDEN, "golden_genome.fa")],
-        capture_output=True, text=True, env=env, timeout=1200,
+        capture_output=True, text=True, env=env, timeout=900,
         cwd=os.path.dirname(os.path.dirname(__file__)))
     assert r.returncode == 0, r.stderr[-2000:]
     assert body(r.stdout) == golden_body("golden_unpaired.sam")
