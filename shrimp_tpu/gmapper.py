@@ -700,14 +700,10 @@ def main(argv: list[str] | None = None) -> int:
             return 1
 
     if y_proj_hist:
-        for sn in range(len(idx.offsets)):
-            lens = np.diff(idx.offsets[sn])
-            lens = lens[lens > 0]
-            log(f"seed {sn} list-length histogram "
-                f"(n={len(lens)}, max={lens.max() if len(lens) else 0}):")
-            hist, edges = np.histogram(lens, bins=16)
-            for h, e0, e1 in zip(hist, edges[:-1], edges[1:]):
-                log(f"  [{e0:9.0f},{e1:9.0f}) {h}")
+        # exact print_genomemap_stats format (genome.c:834-903); with
+        # --genome-shards each shard prints its own table
+        for si in (shard_indexes if genome_shards > 1 else [idx]):
+            telemetry.print_genomemap_stats(log, si)
 
     if save_mmap_prefix is not None:
         idx.save_mmap(save_mmap_prefix)

@@ -306,6 +306,49 @@ def ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _sample_stddev(sum_sq: float, total: float, n: int) -> float:
+    """stat_get_sample_stddev (common/stats.h:78-85), same formula order
+    so the printed %.2f matches the reference bit-for-bit (nan included)."""
+    import numpy as np
+    return float(np.sqrt(sum_sq / (n - 1.0) - total * total / (n * (n - 1.0))))
+
+
+def print_genomemap_stats(out, idx) -> None:
+    """-Y genome map stats (print_genomemap_stats, genome.c:834-903).
+
+    Over-cutoff posting lists were already dropped by ``GenomeIndex.trim``
+    before this runs, so a zero-length list here reproduces the reference's
+    ``> list_cutoff`` exclusion (genome.c:856-866): it contributes 0 to the
+    all-lists stat, is absent from the non-zero stat and max, and lands in
+    histogram bucket 0.
+    """
+    import numpy as np
+    out("Genome Map stats:")
+    for sn in range(len(idx.offsets)):
+        capacity = len(idx.offsets[sn]) - 1
+        lens = np.diff(idx.offsets[sn]).astype(np.int64)
+        total = int(lens.sum())
+        sum_sq = float((lens.astype(np.float64) ** 2).sum())
+        non0 = int((lens > 0).sum())
+        mx = int(lens.max()) if capacity else 0
+        mean = total / capacity
+        mean_n0 = total / non0 if non0 else float("nan")
+        weight = idx.seed_set.seeds[sn].weight
+        out(f"sn:{sn} weight:{weight} total_kmers:{total} lists:{capacity} "
+            f"(non-zero:{non0}) "
+            f"list_sz_avg:{mean:.2f} ({mean_n0:.2f}) "
+            f"list_sz_stddev:{_sample_stddev(sum_sq, total, capacity):.2f} "
+            f"({_sample_stddev(sum_sq, total, non0):.2f}) max:{mx}")
+        bucket_size = ceil_div(mx + 1, 100)
+        hist = np.bincount(np.minimum(lens // bucket_size, 99),
+                           minlength=100)
+        cum = np.cumsum(hist)
+        for i in range(100):
+            out(f"[{i * bucket_size}-{(i + 1) * bucket_size}]: "
+                f"{int(hist[i])} "
+                f"(cummulative: {cum[i] / capacity * 100.0:.4f}%)")
+
+
 # ---------------------------------------------------------------------------
 # print_settings (gmapper.c:1348-1443; the tail after the early return is
 # dead code in the reference and not reproduced)

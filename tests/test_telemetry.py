@@ -107,3 +107,26 @@ def test_insert_histogram_unpaired_warns():
                  os.path.join(GOLDEN, "golden_genome.fa")])
     assert r.returncode == 0
     assert "insert histogram not available in unpaired mode" in r.stderr
+
+
+def test_genomemap_stats_parity():
+    """-Y: exact print_genomemap_stats format (genome.c:834-903).
+
+    Golden captured from the reference:
+      gmapper-ls -N 1 -Y -Q golden_reads.fq golden_genome.fa
+    """
+    r = run_cli(["--mode", "ls", "-N", "1", "-Y", "-Q",
+                 os.path.join(GOLDEN, "golden_reads.fq"),
+                 os.path.join(GOLDEN, "golden_genome.fa")])
+    assert r.returncode == 0, r.stderr
+    lines = r.stderr.splitlines()
+    start = lines.index("Genome Map stats:")
+    got = lines[start:]
+    end = 1
+    while end < len(got) and re.match(r"(sn:\d|\[\d)", got[end]):
+        end += 1
+    got = got[:end]
+    want = golden_stderr("golden_Y.txt").splitlines()
+    assert got == want, "\n".join(
+        f"{w!r} != {g!r}" for w, g in
+        zip(want + [""] * len(got), got + [""] * len(want)) if w != g)
