@@ -18,6 +18,10 @@ Subcommands (python -m shrimp_tpu.tools.utils <cmd> ...):
   basicstats FILE       legacy-output mapping stats (basic-stats-unpaired)
   tophits N FILE...     global top-N legacy records per read
                         (mappings-top-hits.py)
+  findseq FILE SEQ      1-based overlapping occurrences of SEQ in a
+                        single-contig FASTA (findseq.py)
+  clippedmappings       SAM on stdin -> FASTQ of hard-clipped mappings
+                        from their tag columns (get_clipped_mappings.py)
 """
 
 from __future__ import annotations
@@ -250,6 +254,53 @@ def cmd_tophits(args):
     return 0
 
 
+def cmd_findseq(args):
+    """findseq.py: 1-based overlapping matches in a one-contig FASTA."""
+    contig_lines = []
+    seen = False
+    for line in _open(args[0]):
+        if line.startswith(">"):
+            if seen:
+                sys.stderr.write(
+                    "ERROR: this only supports one contig per file\n")
+                return 1
+            seen = True
+        else:
+            contig_lines.append(line.strip())
+    contig = "".join(contig_lines).upper()
+    token = args[1].upper()
+    positions = []
+    start = 0
+    while start < len(contig):
+        pos = contig.find(token, start)
+        if pos == -1:
+            break
+        positions.append(pos + 1)
+        start = pos + 1
+    if not positions:
+        print("Sequence Not Found.")
+    else:
+        print("Sequence Found at Positions:")
+        for pos in positions:
+            print("    " + str(pos))
+    return 0
+
+
+def cmd_clippedmappings(args):
+    """get_clipped_mappings.py: for SAM records whose CIGAR hard-clips,
+    rebuild a FASTQ record from the 15th column (seq tag) and the 14th
+    column (quals tag), exactly as the reference indexes them."""
+    for line in sys.stdin:
+        cols = line.split()
+        if line[0] == "@":
+            continue
+        if "H" in cols[5]:
+            print("@" + cols[0])
+            print(":".join(cols[14].split(":")[2:]) + "\n+")
+            print(":".join(cols[13].split(":")[2:]))
+    return 0
+
+
 _COMMANDS = {
     "cs2ls": cmd_cs2ls,
     "colourise": cmd_colourise,
@@ -264,6 +315,8 @@ _COMMANDS = {
     "extractunmapped": cmd_extractunmapped,
     "basicstats": cmd_basicstats,
     "tophits": cmd_tophits,
+    "findseq": cmd_findseq,
+    "clippedmappings": cmd_clippedmappings,
 }
 
 

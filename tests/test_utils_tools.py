@@ -67,3 +67,38 @@ def test_tophits():
     lines = [l for l in r.stdout.splitlines() if l.startswith(">")]
     names = [l.split("\t")[0] for l in lines]
     assert len(names) == len(set(names))
+
+
+def test_findseq_overlapping(tmp_path):
+    """findseq.py semantics: 1-based, overlapping occurrences."""
+    p = tmp_path / "c.fa"
+    p.write_text(">c\nGGaaaaGG\n")
+    r = run(["findseq", str(p), "aa"])
+    assert r.stdout == ("Sequence Found at Positions:\n"
+                        "    3\n    4\n    5\n")
+    r = run(["findseq", str(p), "TTT"])
+    assert r.stdout == "Sequence Not Found.\n"
+
+
+def test_findseq_multicontig_error(tmp_path):
+    p = tmp_path / "c.fa"
+    p.write_text(">a\nAC\n>b\nGT\n")
+    r = run(["findseq", str(p), "AC"])
+    assert r.returncode == 1
+    assert "one contig per file" in r.stderr
+
+
+def test_clippedmappings(monkeypatch):
+    """get_clipped_mappings.py: H-clipped SAM records -> FASTQ from the
+    15th (seq tag) and 14th (qual tag) columns."""
+    import io as _io
+    import sys as _sys
+    sam = (
+        "@HD\tVN:1.0\n"
+        "r1\t0\tc\t1\t255\t5M\t*\t0\t0\tACGTA\tIIIII"
+        "\tX0:i:1\tX1:i:2\tOQ:Z:JJJJJ\tOS:Z:ACGTA\n"
+        "r2\t0\tc\t1\t255\t2H3M\t*\t0\t0\tGTA\tIII"
+        "\tX0:i:1\tX1:i:2\tOQ:Z:JJJ\tOS:Z:GTACG\n")
+    monkeypatch.setattr(_sys, "stdin", _io.StringIO(sam))
+    r = run(["clippedmappings"])
+    assert r.stdout == "@r2\nGTACG\n+\nJJJ\n"
