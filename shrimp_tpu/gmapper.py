@@ -52,9 +52,7 @@ _LONG = [
     "trim-illumina",
 ]
 
-_UNSUPPORTED = {
-    "--enable-seed-qual-filter": "seed quality filter",
-}
+_UNSUPPORTED = {}
 
 
 def usage(prog: str, mode: str) -> None:
@@ -385,6 +383,8 @@ def main(argv: list[str] | None = None) -> int:
             cfg.qual_delta = int(a)
         elif o == "--ignore-qvs":
             cfg.ignore_qvs = True
+        elif o == "--enable-seed-qual-filter":
+            cfg.seed_qual_filter = True
         elif o == "--no-qv-check":
             no_qv_check = True
         elif o == "--min-avg-qv":

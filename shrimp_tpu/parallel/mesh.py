@@ -115,6 +115,9 @@ class MeshMapper(_ShardAggregates):
 
         m0 = self.mappers[0]
         entries = cand.prepare_reads(reads, cfg, m0.min_seed_span)
+        if cfg.seed_qual_filter:
+            cand.apply_seed_qual_filter(entries, m0.index.seed_set,
+                                        cfg.qual_delta)
         ok = np.array([e.read_len <= cfg.longest_read_len
                        and e.max_n_kmers > 0 for e in entries])
         live = [e for e, o in zip(entries, ok) if o]

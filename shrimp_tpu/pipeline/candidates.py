@@ -42,6 +42,11 @@ class ReadEntry:
     crossover_score: np.ndarray | None = None  # per-colour qv-derived penalty
     read_ls4: np.ndarray | None = None         # CS: 4 letter decodings [4, R]
     read_ls4_rc: np.ndarray | None = None      # lazy, for input_strand == 1
+    sqf: list | None = None       # --enable-seed-qual-filter: per-seed
+    #                               bool[n_kmer_slots], True = skip slot at
+    #                               anchor generation (mapping.c:936)
+    sqf_mapidx: list | None = None  # per-seed bool[n_kmer_slots], True =
+    #                               slot's mapidx was zeroed (mapping.c:78)
 
 
 @dataclass
@@ -196,6 +201,70 @@ def prepare_reads(reads: list[tuple[str, str, str | None]],
             max_n_kmers=max(rl - min_seed_span + 1, 0),
             min_kmer_pos=0, initbp=-1))
     return out
+
+
+def apply_seed_qual_filter(entries: list[ReadEntry], seed_set,
+                           qual_delta: int) -> None:
+    """--enable-seed-qual-filter kmer discard masks
+    (read_quality_filter_preprocess + is_low_quality_read_subsequence,
+    gmapper.h:408-447; call sites mapping.c:78,936).
+
+    Preprocess clamps each quality to [0, 10]: >= TOP_QUALITY_CUTOFF(10)
+    -> 10, < INDIVIDUAL_QUALITY_THRESHOLD(3) -> UNTRUSTED(0).  A kmer slot
+    is discarded when the summed trusted quality over the seed's care
+    positions is >= AVERAGE_QUALITY_THRESHOLD(6) * weight — the shipped
+    binary's literal behaviour (the comparison discards HIGH-quality
+    kmers; we replicate it for byte parity).  The reference indexes the
+    forward-strand filter quals for both strands' slot columns, so one
+    mask per (read, seed) serves both strands.
+
+    The two call sites index differently: read_get_mapidxs passes the
+    absolute kmer start r_idx = min_kmer_pos + slot (mapping.c:78) while
+    the anchor-list loop passes the bare slot index (mapping.c:936).  In
+    letter space these coincide (min_kmer_pos = 0); in colour space they
+    are off by one, so a slot can be zeroed to mapidx 0 without being
+    skipped from anchors (and vice versa).  `sqf` carries the anchor-site
+    mask and `sqf_mapidx` the mapidx-site mask.  An all-untrusted
+    subsequence makes the reference exit(1) (gmapper.h:448-455); we raise
+    the equivalent error.
+    """
+    for e in entries:
+        if e.qual is None:
+            e.sqf = e.sqf_mapidx = None
+            continue
+        q = np.frombuffer(e.qual.encode("latin-1"), np.uint8) \
+            .astype(np.int64) - qual_delta
+        fq = np.where(q >= 10, 10, np.where(q < 3, 0, q))
+
+        def window_sums(starts, seed):
+            s = np.zeros(len(starts), np.int64)
+            for j in seed.ones_idx:
+                pos = np.minimum(starts + int(j), len(fq) - 1)
+                s += fq[pos]
+            if np.any(s <= 0):
+                raise ValueError(
+                    f"seed-qual-filter: all-untrusted seed subsequence in "
+                    f"read [{e.name}] (the reference exits here, "
+                    f"gmapper.h:448-455)")
+            return s
+
+        m_anchor, m_mapidx = [], []
+        for seed in seed_set.seeds:
+            n = e.read_len - seed.span + 1 - e.min_kmer_pos
+            if n <= 0:
+                m_anchor.append(np.zeros(0, bool))
+                m_mapidx.append(np.zeros(0, bool))
+                continue
+            slots = np.arange(n)
+            thr = 6 * seed.weight
+            s_map = window_sums(slots + e.min_kmer_pos, seed)
+            m_mapidx.append(s_map >= thr)
+            if e.min_kmer_pos == 0:
+                m_anchor.append(m_mapidx[-1])
+            else:
+                m_anchor.append(window_sums(slots, seed) >= thr)
+        e.sqf = m_anchor
+        e.sqf_mapidx = m_mapidx
 
 
 def read_mapidxs(re: ReadEntry, idx: GenomeIndex, st: int) -> list[np.ndarray]:

@@ -120,9 +120,70 @@ REGION_OVERLAP = 50     # DEF_REGION_OVERLAP
 _REGION_TABLE = None    # persistent native visit-table workspace
 
 
+def sqf_region_extras(entries: list, idx: GenomeIndex, st: int,
+                      list_cutoff: int = 0xFFFFFFFF):
+    """Region-visit entries contributed by --enable-seed-qual-filter'ed
+    kmer slots.
+
+    read_get_mapidxs stores mapidx **0** for a mapidx-site-filtered slot
+    (mapping.c:78-81); the region-count loops (read_get_region_counts
+    mapping.c:475, read_get_mp_region_counts :561) iterate every slot with
+    its stored mapidx and re-check neither filter.  Anchor generation
+    skips anchor-site-filtered slots (mapping.c:936-939), so those slots'
+    posting lists (bucket 0 if also mapidx-filtered, the true list
+    otherwise) appear in the visit counts but not in the expanded anchors.
+    This returns exactly that anchors/regions difference as (rid, x), or
+    None when empty."""
+    rid_parts, x_parts = [], []
+    mapidxs = None
+    for sn in range(len(idx.seed_set.seeds)):
+        off = idx.offsets[sn]
+        for r, e in enumerate(entries):
+            if e.sqf is None or not len(e.sqf[sn]):
+                continue
+            ma = e.sqf[sn]
+            if not ma.any():
+                continue
+            mm = e.sqf_mapidx[sn]
+            if mapidxs is None:
+                mapidxs = mapidx_batch(entries, idx, st)
+            mi_row = mapidxs[sn][r, :len(ma)]
+            slots = np.flatnonzero(ma & (mi_row != 0xFFFFFFFF))
+            eff = np.where(mm[slots], 0, mi_row[slots]).astype(np.int64)
+            lo = off[eff]
+            hi = off[eff + 1]
+            lens = hi - lo
+            lens = np.where(lens > list_cutoff, 0, lens)
+            total = int(lens.sum())
+            if not total:
+                continue
+            starts = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=starts[1:])
+            within = (np.arange(total, dtype=np.int64)
+                      - np.repeat(starts[:-1], lens))
+            x_parts.append(idx.positions[sn][np.repeat(lo, lens) + within]
+                           .astype(np.int64))
+            rid_parts.append(np.full(total, r, np.int32))
+    if not x_parts:
+        return None
+    return (np.concatenate(rid_parts), np.concatenate(x_parts))
+
+
+def _region_keys(rid: np.ndarray, x: np.ndarray, region_bits: int,
+                 region_overlap: int) -> np.ndarray:
+    """All (read, region) visit keys for posting entries, including the
+    previous-region extension near a region start."""
+    reg = x >> region_bits
+    off = x & ((1 << region_bits) - 1)
+    key = (rid.astype(np.int64) << 24) | reg
+    ext = (off < region_overlap) & (reg > 0)
+    return np.concatenate([key, key[ext] - 1])
+
+
 def region_has2_filter(rid: np.ndarray, x: np.ndarray,
                        region_bits: int = REGION_BITS,
-                       region_overlap: int = REGION_OVERLAP) -> np.ndarray:
+                       region_overlap: int = REGION_OVERLAP,
+                       extra=None) -> np.ndarray:
     """Region-count pruning (read_get_region_counts +
     advance_index_in_genomemap, mapping.c:475-780).
 
@@ -134,8 +195,11 @@ def region_has2_filter(rid: np.ndarray, x: np.ndarray,
 
     Uses the native C visit-table when available (O(n), the reference's
     region_map structure) instead of the sort-based NumPy fallback.
+
+    extra: optional (rid, x) posting entries that contribute visits but
+    are not part of the returned mask (seed-qual-filter bucket-0 slots).
     """
-    if len(x):
+    if len(x) and extra is None:
         from shrimp_tpu import native
         lib = native.load_candidates()
         if lib is not None:
@@ -166,6 +230,10 @@ def region_has2_filter(rid: np.ndarray, x: np.ndarray,
     key = (rid.astype(np.int64) << 24) | reg   # region < 2^24 => genome < 32Gbp
     ext = (off < region_overlap) & (reg > 0)
     all_keys = np.concatenate([key, key[ext] - 1])
+    if extra is not None:
+        all_keys = np.concatenate(
+            [all_keys,
+             _region_keys(extra[0], extra[1], region_bits, region_overlap)])
     uniq, counts = np.unique(all_keys, return_counts=True)
     has2 = uniq[counts >= 2]
     if len(has2) == 0:
@@ -180,16 +248,18 @@ def region_has2_filter(rid: np.ndarray, x: np.ndarray,
 
 def region_visits(rid: np.ndarray, x: np.ndarray,
                   region_bits: int = REGION_BITS,
-                  region_overlap: int = REGION_OVERLAP):
+                  region_overlap: int = REGION_OVERLAP,
+                  extra=None):
     """Per-(read, region) visit counts from raw posting entries
     (read_get_region_counts, mapping.c:475-540): each entry visits its
     region, plus the previous one when within region_overlap of the region
-    start.  Returns (sorted unique keys rid<<24|region, counts)."""
-    reg = x >> region_bits
-    off = x & ((1 << region_bits) - 1)
-    key = (rid.astype(np.int64) << 24) | reg
-    ext = (off < region_overlap) & (reg > 0)
-    all_keys = np.concatenate([key, key[ext] - 1])
+    start.  extra: (rid, x) visit-only entries (seed-qual-filter bucket-0
+    slots).  Returns (sorted unique keys rid<<24|region, counts)."""
+    all_keys = _region_keys(rid, x, region_bits, region_overlap)
+    if extra is not None:
+        all_keys = np.concatenate(
+            [all_keys,
+             _region_keys(extra[0], extra[1], region_bits, region_overlap)])
     return np.unique(all_keys, return_counts=True)
 
 
@@ -290,6 +360,16 @@ def _expansion_lists(entries: list[ReadEntry], idx: GenomeIndex, st: int,
             continue
         off = idx.offsets[sn]
         valid = mi != 0xFFFFFFFF
+        for r, e in enumerate(entries):
+            # --enable-seed-qual-filter: mapidx-site-filtered slots were
+            # stored as mapidx 0 (mapping.c:78-81); anchor-site-filtered
+            # slots are skipped (mapping.c:936-939).  Slots dropped here
+            # still feed the region counts via sqf_region_extras.
+            if e.sqf is not None and len(e.sqf[sn]):
+                mm = e.sqf_mapidx[sn]
+                mi[r, :len(mm)][mm & valid[r, :len(mm)]] = 0
+                ma = e.sqf[sn]
+                valid[r, :len(ma)] &= ~ma
         mi_safe = np.where(valid, mi, 0)
         lo = off[mi_safe]
         hi = off[mi_safe + 1]
@@ -546,7 +626,8 @@ def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
     postings: precomputed `expand_postings` result (avoids re-expansion);
     region_filter: keep-mask callable(rid, x) overriding the default has-2
     region filter (used for mate-pair region counts)."""
-    if postings is None and region_filter is None:
+    sqf_active = any(e.sqf is not None for e in entries)
+    if postings is None and region_filter is None and not sqf_active:
         ab = _anchors_fused(entries, idx, st, collapse, list_cutoff,
                             use_region_counts)
         if ab is not None:
@@ -559,7 +640,9 @@ def anchors_batch(entries: list[ReadEntry], idx: GenomeIndex, st: int,
     if len(x) and region_filter is not None:
         keep = region_filter(rid, x)
     elif use_region_counts and len(x):
-        keep = region_has2_filter(rid, x)
+        extra = (sqf_region_extras(entries, idx, st, list_cutoff)
+                 if sqf_active else None)
+        keep = region_has2_filter(rid, x, extra=extra)
 
     if len(x):
         ab = _anchors_native(entries, idx, rid, x, y, ln, keep, st,

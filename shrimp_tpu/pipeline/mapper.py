@@ -355,6 +355,11 @@ class Mapper:
 
         with self.tel.stage("readparse"):
             entries = cand.prepare_reads(reads, cfg, self.min_seed_span)
+            if cfg.seed_qual_filter:
+                # Qflag && SQFflag gate (mapping.c:78): FASTA reads carry
+                # no quals, so the filter is inert for them
+                cand.apply_seed_qual_filter(entries, self.index.seed_set,
+                                            cfg.qual_delta)
         ok = np.array([e.read_len <= cfg.longest_read_len
                        and e.max_n_kmers > 0 for e in entries])
         self._bump(reads=len(entries), reads_dropped=int((~ok).sum()))
@@ -446,6 +451,9 @@ class Mapper:
         def stage0(reads):
             with self.tel.stage("readparse"):
                 entries = cand.prepare_reads(reads, cfg, self.min_seed_span)
+                if cfg.seed_qual_filter:
+                    cand.apply_seed_qual_filter(
+                        entries, self.index.seed_set, cfg.qual_delta)
             ok = np.array([e.read_len <= cfg.longest_read_len
                            and e.max_n_kmers > 0 for e in entries])
             self._bump(reads=len(entries), reads_dropped=int((~ok).sum()))
@@ -564,6 +572,8 @@ class Mapper:
         capacity contract, ops/candidates_device.py)."""
         if not self.cfg.device_candidates:
             return False
+        if any(e.sqf is not None for e in entries):
+            return False      # seed-qual-filter runs on the host path
         if self.index.total_len >= (1 << 31):
             return False
         if len(entries) > (1 << 12):

@@ -146,6 +146,7 @@ class MapperConfig:
     hit_lookback: int = 64            # window-pairing lookback depth
 
     use_regions: bool = True          # DEF_USE_REGIONS
+    seed_qual_filter: bool = False    # --enable-seed-qual-filter (SQFflag)
 
     def unpaired_options(self) -> list[ReadMappingOptions]:
         """Default single unpaired option set (gmapper.c:2601-2632)."""

@@ -178,6 +178,13 @@ class PairedMapper(Mapper):
                 e2.read_ls4, e2.read_ls4_rc = e2.read_ls4_rc, e2.read_ls4
             entries1.append(e1)
             entries2.append(e2)
+        if cfg.seed_qual_filter:
+            # same slot-column mask regardless of mate reversal — the
+            # reference's filter_qual is never reversed (mapping.c:48-51)
+            cand.apply_seed_qual_filter(entries1, self.index.seed_set,
+                                        cfg.qual_delta)
+            cand.apply_seed_qual_filter(entries2, self.index.seed_set,
+                                        cfg.qual_delta)
         input_strand1 = 1 if rev1 else 0
         input_strand2 = 1 if rev2 else 0
 
@@ -344,11 +351,16 @@ class PairedMapper(Mapper):
         live = {0: [entries1[i] for i in live_idx],
                 1: [entries2[i] for i in live_idx]}
         for side in (0, 1):
+            sqf_on = any(e.sqf is not None for e in live[side])
             for st in (0, 1):
                 p = cb.expand_postings(live[side], self.index, st,
                                        self.index.list_cutoff)
                 postings[(side, st)] = p
-                visits[(side, st)] = cb.region_visits(p[0], p[1])
+                extra = (cb.sqf_region_extras(live[side], self.index, st,
+                                              self.index.list_cutoff)
+                         if sqf_on else None)
+                visits[(side, st)] = cb.region_visits(p[0], p[1],
+                                                      extra=extra)
         L = len(live_idx)
         R = 1 << cb.REGION_BITS
         dmin = {0: np.zeros((L, 2), np.int64), 1: np.zeros((L, 2), np.int64)}
