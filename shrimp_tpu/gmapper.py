@@ -837,7 +837,12 @@ def main(argv: list[str] | None = None) -> int:
                 rec.qual = rec.qual[:n]
         return rec
 
+    n_dropped_intake = 0   # intake drops: over-length + low avg qv
+    #                        (gmapper.c:495-531; counts READS, also in
+    #                        paired mode where the stats call them pairs)
+
     def rec_ok(rec):
+        nonlocal n_dropped_intake
         if rec.qual and not cfg.ignore_qvs and not no_qv_check:
             for c in rec.qual:
                 qv = ord(c) - cfg.qual_delta
@@ -845,17 +850,33 @@ def main(argv: list[str] | None = None) -> int:
                     log(f"The qv-offset might be set incorrectly! qv {qv} "
                         f"observed under PHRED+{cfg.qual_delta}.")
                     sys.exit(1)
+        low_qv = False
         if rec.qual and not cfg.ignore_qvs and min_avg_qv >= 0:
             # integer sum / integer read_len (= strlen(seq): one longer
             # than qual for CS primer-base reads) — gmapper.c:458-500
             total = sum(ord(c) - cfg.qual_delta for c in rec.qual)
             rl = max(len(rec.seq), 1)
             avg = total // rl if total >= 0 else -((-total) // rl)
-            if avg < min_avg_qv:
-                return False
+            low_qv = avg < min_avg_qv
+        rlen = len(rec.seq) - (1 if colour else 0)
+        if rlen > cfg.longest_read_len or low_qv:
+            # exact intake-drop warnings (gmapper.c:499-511): the
+            # smaller-than-seed branch wins when both apply; the low-qv
+            # drop is silent
+            if rlen - seed_set.min_span + 1 <= 0:
+                log(f"warning: skipping read [{rec.name}]; "
+                    f"smaller then any seed!")
+            elif rlen > cfg.longest_read_len:
+                log(f"warning: skipping read [{rec.name}]; it has length "
+                    f"{rlen}, maximum allowed is {cfg.longest_read_len}. "
+                    f"Use --longest-read ?")
+            n_dropped_intake += 1
+            return False
         return True
 
     n_reads = 0
+    n_intake_reads_skipped = 0   # paired mode: reads of pairs dropped at
+    #                              intake (still counted in nreads)
     n_matched = 0
     n_matched_conf = 0           # reads with an emitted hit MQV >= 10
     n_pairs_matched = 0
@@ -892,9 +913,15 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 r1, r2 = buf, trim_rec(rec, mate=1)
                 buf = None
-                if rec_ok(r1) and rec_ok(r2):
+                ok1 = rec_ok(r1)
+                ok2 = rec_ok(r2)   # no short-circuit: both reads get the
+                #                    intake check + warning (gmapper.c:495)
+                if ok1 and ok2:
                     yield ((r1.name, r1.seq, r1.qual),
                            (r2.name, r2.seq, r2.qual))
+                else:
+                    nonlocal n_intake_reads_skipped
+                    n_intake_reads_skipped += 2
             if buf is not None:
                 log("warning: odd number of reads in paired mode; "
                     "dropping the last one")
@@ -1056,7 +1083,8 @@ def main(argv: list[str] | None = None) -> int:
         colour_space=colour,
         load_genome_secs=load_genome_secs,
         mapping_secs=dt,
-        nreads=n_reads,
+        nreads=n_reads + (n_dropped_intake if pair_mode == 0
+                          else n_intake_reads_skipped),
         num_threads=threads,
         dflag=d_stats,
         pair_mode_none=(pair_mode == 0),
@@ -1064,13 +1092,17 @@ def main(argv: list[str] | None = None) -> int:
         total_reads_matched=(n_matched if pair_mode == 0
                              else n_unp_reads_matched),
         total_reads_matched_conf=n_matched_conf,
-        total_reads_dropped=ms.get("reads_dropped_max_aln", 0),
+        total_reads_dropped=(ms.get("reads_dropped_max_aln", 0)
+                             + (n_dropped_intake if pair_mode == 0
+                                else 0)),
         total_single_matches=(ms.get("total_matches", 0)
                               if pair_mode == 0 else n_unp_matches),
         total_dup_single_matches=ms.get("dup_matches_pruned", 0),
         total_pairs_matched=n_pairs_matched,
         total_pairs_matched_conf=n_pairs_matched_conf,
-        total_pairs_dropped=ms.get("pairs_dropped_max_aln", 0),
+        total_pairs_dropped=(ms.get("pairs_dropped_max_aln", 0)
+                             + (n_dropped_intake if pair_mode != 0
+                                else 0)),
         total_paired_matches=n_paired_matches,
         total_dup_paired_matches=ms.get("dup_pairs_pruned", 0),
         genomemap_bytes=genome_bytes,
