@@ -55,13 +55,193 @@ _LONG = [
 _UNSUPPORTED = {}
 
 
-def usage(prog: str, mode: str) -> None:
-    sys.stderr.write(
-        f"usage: {prog} [options/parameters] { '{' }reads.fa | -1 r1 -2 r2{ '}' } "
-        "genome.fa...\n"
-        "see the SHRiMP2 README for the option reference; this TPU-native\n"
-        "build accepts the same surface (unsupported legacy options error "
-        "out).\n")
+def usage(prog: str, mode: str, full: bool = False,
+          seed_strings: list[str] | None = None,
+          state: dict | None = None) -> None:
+    """Exact usage text (usage, gmapper.c:1009-1246).
+
+    Like the reference, option defaults reflect the *current* parsed
+    state where the reference prints live globals (strand flags, output
+    format toggles), and compile-time DEF_* constants elsewhere.
+    """
+    st = {
+        "pair_mode": 0, "gapless": False, "global": True,
+        "trim_illumina": False, "bfast": False, "Cflag": False,
+        "Fflag": False, "Pflag": False, "Eflag": True, "Qflag": True,
+        "Rflag": False, "Tflag": True, "Xflag": False, "Yflag": False,
+        "hash_filter_calls": True, "Hflag": False, "Dflag": False,
+        "Vflag": True, "sam_unaligned": False, "half_paired": True,
+        "progress": 100000,
+    }
+    if state:
+        st.update(state)
+    cs = mode == "cs"
+    if seed_strings is None:
+        seed_strings = ["11110111101111", "1111011100100001111",
+                        "1111000011001101111"]
+    e = sys.stderr.write
+    onoff = lambda v: "enabled" if v else "disabled"
+    name = f"gmapper-{mode}"
+    e(f"usage: {name} [options/parameters] "
+      "{ <r> | -1 <r1> -2 <r2> } <g1> <g2>...\n")
+    e("   <r>                  Reads filename, paired or unpaired\n")
+    e("   <r1>                 Upstream reads filename\n")
+    e("   <r2>                 Downstream reads filename\n")
+    e("   <g1> <g2>...         Space seperated list of genome filenames\n")
+    e("Parameters:\n")
+    e("   -s/--seeds           Spaced Seed(s)                (default: ")
+    for sn, s in enumerate(seed_strings):
+        if sn > 0:
+            e(" " * 55)
+        e(f"{s}{')' if sn == len(seed_strings) - 1 else ','}\n")
+    e("   -o/--report          Maximum Hits per Read         "
+      "(default: 10)\n")
+    e("      --max-alignments  Max. align. per read  (0=all) "
+      "(default: 0)\n")
+    e("   -w/--match-window    Match Window Length           "
+      "(default: 140.00%)\n")
+    e("   -n/--cmw-mode        Match Mode                    "
+      "(default: unpaired:2 paired:4)\n")
+    if full:
+        e("   -l/--cmw-overlap     Match Window Overlap Length   "
+          "(default: 90.00%)\n")
+        e("   -a/--anchor-width    Anchor Width Limiting Full SW "
+          "(default: 8; disable: -1)\n")
+        e("\n")
+        e("   -S/--save            Save Genome Proj. in File     "
+          "(default: no)\n")
+        e("   -L/--load            Load Genome Proj. from File   "
+          "(default: no)\n")
+        e("   -z/--cutoff          Projection List Cut-off Len.  "
+          "(default: 4294967295)\n")
+    e("\n")
+    e(f"   -m/--match           SW Match Score                "
+      f"(default: 10)\n")
+    e(f"   -i/--mismatch        SW Mismatch Score             "
+      f"(default: {-24 if cs else -15})\n")
+    e("   -g/--open-r          SW Gap Open Score (Reference) "
+      "(default: -33)\n")
+    e("   -q/--open-q          SW Gap Open Score (Query)     "
+      "(default: -33)\n")
+    e("   -e/--ext-r           SW Gap Extend Score(Reference)"
+      "(default: -7)\n")
+    e("   -f/--ext-q           SW Gap Extend Score (Query)   "
+      "(default: -3)\n")
+    if cs:
+        e("   -x/--crossover       SW Crossover Score            "
+          "(default: -20)\n")
+    e("   -r/--cmw-threshold   Window Generation Threshold   "
+      "(default: 55.00%)\n")
+    if cs:
+        e("   -v/--vec-threshold   SW Vector Hit Threshold       "
+          "(default: 47.00%)\n")
+    e("   -h/--full-threshold  SW Full Hit Threshold         "
+      "(default: 50.00%)\n")
+    e("\n")
+    e("   -N/--threads         Number of Threads             "
+      "(default: 1)\n")
+    if full:
+        e("   -K/--thread-chunk    Thread Chunk Size             "
+          "(default: 1000)\n")
+    e("\n")
+    pair_names = ["none", "opposing strands; inwards",
+                  "opposing strands; outwards",
+                  "same strand; second is forward",
+                  "same strand; second is backward"]
+    e(f"   -p/--pair-mode       Paired Mode                   "
+      f"(default: {pair_names[st['pair_mode']]})\n")
+    e("   -I/--isize           Min and Max Insert Size       "
+      "(default: 0,1000)\n")
+    e("      --longest-read    Maximum read length           "
+      "(default: 1000)\n")
+    e("   -1/--upstream        Upstream read pair file\n")
+    e("   -2/--downstream      Downstream read pair file\n")
+    e("      --un              Dump unaligned reads to file\n")
+    e("      --al              Dump aligned reads to file\n")
+    e("      --read-group      Attach SAM Read Group name\n")
+    e("      --sam-header      Use file as SAM header\n")
+    e("      --single-best-mapping Report only the best mapping(s), "
+      "this is not strata (see README)\n")
+    e("      --all-contigs     Report a maximum of 1 mapping for "
+      "each read.\n")
+    e("      --no-mapping-qualities Do not compute mapping qualities\n")
+    e("      --insert-size-dist Specifies the mean and stddev of the "
+      "insert sizes\n")
+    e("      --no-improper-mappings (see README)\n")
+    if full:
+        e("      --trim-front      Trim front of reads by this amount\n")
+        e("      --trim-end        Trim end of reads by this amount\n")
+        e("      --trim-first      Trim only first read in pair\n")
+        e("      --trim-second     Trim only second read in pair\n")
+        e("      --min-avg-qv      The minimum average quality value "
+          "of a read\n")
+        e(f"      --progress        Display a progress line each "
+          f"<value> reads. (default {st['progress']})\n")
+        e("      --save-mmap       Save genome projection to shared "
+          "memory\n")
+        e("      --load-mmap       Load genome projection from shared "
+          "memory\n")
+        e("      --indel-taboo-len Prevent indels from starting or "
+          "ending in the tail\n")
+        e(f"      --shrimp-format   Output mappings in SHRiMP format "
+          f"(default: {'disabled' if st['Eflag'] else 'enabled'})\n")
+        e("      --qv-offset       (see README)\n")
+        e("      --sam-header-hd   (see README)\n")
+        e("      --sam-header-sq   (see README)\n")
+        e("      --sam-header-rg   (see README)\n")
+        e("      --sam-header-pg   (see README)\n")
+        e("      --no-autodetect-input (see README)\n")
+    e("\n")
+    e("Options:\n")
+    e(f"   -U/--ungapped        Perform Ungapped Alignment    "
+      f"(default: {onoff(st['gapless'])})\n")
+    e(f"      --global          Perform full global alignment "
+      f"(default: {onoff(st['global'])})\n")
+    e(f"      --local           Perform local alignment       "
+      f"(default: {onoff(not st['global'])})\n")
+    if cs:
+        e(f"      --bfast           Try to align like bfast       "
+          f"(default: {onoff(st['bfast'])})\n")
+    else:
+        e(f"      --trim-illumina   Trim trailing B qual values   "
+          f"(default: {onoff(st['trim_illumina'])})\n")
+    e(f"   -C/--negative        Negative Strand Aln. Only     "
+      f"(default: {onoff(st['Cflag'])})\n")
+    e(f"   -F/--positive        Positive Strand Aln. Only     "
+      f"(default: {onoff(st['Fflag'])})\n")
+    e(f"   -P/--pretty          Pretty Print Alignments       "
+      f"(default: {onoff(st['Pflag'])})\n")
+    e(f"   -E/--sam             Output SAM Format             "
+      f"(default: {onoff(st['Eflag'])})\n")
+    e(f"   -Q/--fastq           Reads are in fastq format     "
+      f"(default: {onoff(st['Qflag'])})\n")
+    if full:
+        e(f"   -R/--print-reads     Print Reads in Output         "
+          f"(default: {onoff(st['Rflag'])})\n")
+        e("   -t/--tiebreak-off    Disable Reverse Tie-break\n")
+        e(f"                                  on Negative Strand  "
+          f"(default: {onoff(st['Tflag'])})\n")
+        e(f"   -X/--isize-hist      Print Insert Size Histogram   "
+          f"(default: {onoff(st['Xflag'])})\n")
+        e(f"   -Y/--proj-hist       Print Genome Proj. Histogram  "
+          f"(default: {onoff(st['Yflag'])})\n")
+        e("   -Z/--bypass-off      Disable Cache Bypass for SW\n")
+        e(f"                                    Vector Calls      "
+          f"(default: {onoff(st['hash_filter_calls'])})\n")
+        e("   -H/--spaced-kmers    Hash Spaced Kmers in Genome\n")
+        e(f"                                    Projection        "
+          f"(default: {onoff(st['Hflag'])})\n")
+        e(f"   -D/--thread-stats    Individual Thread Statistics  "
+          f"(default: {onoff(st['Dflag'])})\n")
+        e("   -V/--trim-off        Disable Automatic Genome\n")
+        e(f"                                 Index Trimming       "
+          f"(default: {onoff(st['Vflag'])})\n")
+    e(f"      --sam-unaligned   Unaligned reads in SAM output "
+      f"(default: {onoff(st['sam_unaligned'])})\n")
+    e(f"      --half-paired     Output half mapped read pairs "
+      f"(default: {onoff(st['half_paired'])})\n")
+    e("      --strata          Print only the best scoring hits\n")
+    e("   -?/--help            Full List of Parameters and Options\n")
 
 
 def log(msg: str) -> None:
@@ -163,6 +343,36 @@ def main(argv: list[str] | None = None) -> int:
     user_score_flags: set[str] = set()
     vec_threshold_set = False
 
+    def _usage_seeds():
+        """Seed patterns printed by usage(): the parsed -s strings, the
+        selected default weight set, or None (the built-in default set)."""
+        if seed_specs:
+            return list(seed_specs)
+        if seed_weight:
+            from shrimp_tpu import seeds as _sm
+            return [s.pattern for s in _sm.default_seeds(seed_weight)]
+        return None
+
+    def _usage_state():
+        """Live toggles echoed by usage(), matching the reference's
+        globals-at-usage-time behaviour (gmapper.c:1185-1245)."""
+        return {
+            "pair_mode": pair_mode, "gapless": cfg.gapless,
+            "global": cfg.global_alignment,
+            "trim_illumina": trim_illumina, "bfast": cfg.bfast,
+            "Cflag": cfg.strand_mask == 2, "Fflag": cfg.strand_mask == 1,
+            # reference Qflag inits true (gmapper.h:97) — our `fastq`
+            # local only tracks -Q for input parsing
+            "Pflag": pflag, "Eflag": not shrimp_format, "Qflag": True,
+            "Rflag": rflag, "Tflag": cfg.rev_tiebreak,
+            "Xflag": x_isize_hist, "Yflag": y_proj_hist,
+            "hash_filter_calls": not no_hash_filter_calls,
+            "Hflag": use_hashing, "Dflag": d_stats,
+            "Vflag": not auto_trim_off,
+            "sam_unaligned": cfg.sam_unaligned,
+            "half_paired": cfg.half_paired, "progress": progress,
+        }
+
     for o, a in opts:
         if o in _UNSUPPORTED:
             log(f"error: option {o} ({_UNSUPPORTED[o]}) is not supported "
@@ -253,11 +463,13 @@ def main(argv: list[str] | None = None) -> int:
             mu, sd = a.split(",")
             insert_size_mean, insert_size_stddev = float(mu), float(sd)
         elif o in ("-U", "--ungapped"):
-            # -U also kills gap opens and anchors (gmapper.c:2055-2060)
+            # -U also kills gap opens, anchors, and the SW cache display
+            # flag (gmapper.c:2055-2060)
             cfg.gapless = True
             cfg.anchor_width = 0
             score_assignments.append(("a_gap_open", -255))
             score_assignments.append(("b_gap_open", -255))
+            no_hash_filter_calls = True
         elif o in ("-C", "--negative"):
             cfg.strand_mask = 2
         elif o in ("-F", "--positive"):
@@ -270,6 +482,8 @@ def main(argv: list[str] | None = None) -> int:
             rflag = True
         elif o in ("-P", "--pretty"):
             pflag = True
+            shrimp_format = True   # -P implies legacy output (Eflag=false,
+            #                        gmapper.c:1995-1997)
         elif o in ("-B", "--bfast"):
             if not colour:
                 log("error: --bfast is a colour-space option")
@@ -448,13 +662,25 @@ def main(argv: list[str] | None = None) -> int:
         elif o == "--no-autodetect-input":
             no_autodetect = True
         elif o in ("-?", "--help"):
-            usage(prog, mode)
-            return 0
+            # full usage, exit 1 like the reference (gmapper.c:2050,1246)
+            usage(prog, mode, full=True, seed_strings=_usage_seeds(),
+                  state=_usage_state())
+            return 1
 
     if read_group:
         cfg.sam_read_group_name = read_group[0]
     cfg.extra_sam_fields = extra_sam_fields
     cfg.sam_r2 = sam_r2
+
+    # SAM vs legacy output flag conflicts (gmapper.c:2466-2474); like the
+    # reference this is order-dependent: -P implies legacy, a later -E
+    # re-enables SAM and collides
+    if not shrimp_format and pflag:
+        log("-E and -P are incompatable")
+        return 1
+    if not shrimp_format and rflag:
+        log("-E and -R are incompatable")
+        return 1
 
     score_updates: dict[str, int] = {}
     for key, val in score_assignments:
@@ -567,7 +793,15 @@ def main(argv: list[str] | None = None) -> int:
             reads_files = []
         else:
             if len(positional) < (1 if (up_file or down_file) else 2):
-                usage(prog, mode)
+                # exact error + short usage (gmapper.c:2423-2436)
+                if up_file or down_file:
+                    log("error: genome_file(s) not specified")
+                else:
+                    log(f"error: "
+                        f"{'reads_file, ' if not positional else ''}"
+                        f"genome_file(s) not specified")
+                usage(prog, mode, seed_strings=_usage_seeds(),
+                      state=_usage_state())
                 return 1
             if up_file or down_file:
                 genome_files = positional
@@ -728,7 +962,9 @@ def main(argv: list[str] | None = None) -> int:
             log("error: need both -1 and -2 for split pair files")
             return 1
     elif not reads_files:
-        usage(prog, mode)
+        log("error: read_file not specified")
+        usage(prog, mode, seed_strings=_usage_seeds(),
+              state=_usage_state())
         return 1
 
     # ----- SAM header -----

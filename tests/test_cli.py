@@ -75,7 +75,7 @@ def test_cli_rejects_malformed_paired_options():
 
 def test_cli_help():
     r = run_cli(["-?"])
-    assert r.returncode == 0
+    assert r.returncode == 1   # usage() exits 1 (gmapper.c:1246)
     assert "usage" in r.stderr
 
 
