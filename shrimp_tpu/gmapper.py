@@ -308,6 +308,7 @@ def main(argv: list[str] | None = None) -> int:
     min_avg_qv = 10              # DEF min_avg_qv (gmapper.h:81)
     no_qv_check = False
     no_autodetect = False
+    qv_offset_set = False
     read_group = None
     sam_header_file = None
     sam_header_sections = {}
@@ -595,6 +596,7 @@ def main(argv: list[str] | None = None) -> int:
             extra_sam_fields = True
         elif o == "--qv-offset":
             cfg.qual_delta = int(a)
+            qv_offset_set = True
         elif o == "--ignore-qvs":
             cfg.ignore_qvs = True
         elif o == "--enable-seed-qual-filter":
@@ -921,7 +923,7 @@ def main(argv: list[str] | None = None) -> int:
                                      colour_space=colour)
             if cfg.list_cutoff != 0xFFFFFFFF:
                 idx.trim(cfg.list_cutoff)
-        log(f"Loaded Genome ({time.time() - t0:.1f}s)")
+        log("Loaded Genome")     # exact text (genome.c:1180)
     load_genome_secs = time.time() - t0
     if genome_shards > 1:
         if load_prefix is not None or load_mmap_prefix is not None or \
@@ -966,6 +968,26 @@ def main(argv: list[str] | None = None) -> int:
         usage(prog, mode, seed_strings=_usage_seeds(),
               state=_usage_state())
         return 1
+
+    # reads-file open notes, in the reference's exact order: format
+    # autodetect note(s) (fasta.c:113-121), the Processing line
+    # (gmapper.c:2871,2888), the quality-format note (gmapper.c:2890-2902)
+    det_fastq = fastq
+    rf_list = [up_file, down_file] if up_file else [reads_files[0]]
+    if not no_autodetect:
+        for rf_ in rf_list:
+            d_ = fastx.detect_fastq(rf_)
+            log(f"note: detected {'fastq' if d_ else 'fasta'} "
+                f"format in input file [{rf_}]")
+            det_fastq = d_
+    if up_file:
+        log(f"- Processing read files [{up_file} , {down_file}]")
+    else:
+        log(f"- Processing read file [{reads_files[0]}]")
+    if det_fastq or fastq:
+        log("note: quality value format "
+            + (f"set to PHRED+{cfg.qual_delta}" if qv_offset_set
+               else f"not set explicitly; using PHRED+{cfg.qual_delta}"))
 
     # ----- SAM header -----
     out = sys.stdout
@@ -1123,6 +1145,20 @@ def main(argv: list[str] | None = None) -> int:
     un_recs: list = []
     al_recs: list = []
     t_map0 = time.time()
+    # progress header + line format (gmapper.c:320-397): header whenever
+    # progress > 0 (default 100000), updates as "nreads r/hr r/core-hr.\r"
+    if progress > 0:
+        log("done r/hr r/core-hr")
+    _prog_last = [0, t_map0]
+
+    def progress_print():
+        now = time.time()
+        dn = n_reads - _prog_last[0]
+        dt_ = max(now - _prog_last[1], 1e-9)
+        rph = int(dn / dt_ * 3600.0)
+        sys.stderr.write(f"{n_reads} {rph} {int(rph / max(threads, 1))}.\r")
+        _prog_last[0] = n_reads
+        _prog_last[1] = now
 
     def reads_stream():
         if up_file:
@@ -1136,7 +1172,6 @@ def main(argv: list[str] | None = None) -> int:
                 yield r2
         else:
             for rf in reads_files:
-                log(f"- Processing read file [{rf}]")
                 yield from fastx.iter_reads(rf, fastq=fastq)
 
     stream = reads_stream()
@@ -1215,9 +1250,7 @@ def main(argv: list[str] | None = None) -> int:
                 for rec in emit_pair(pr):
                     out.write(rec.line() + "\n")
             if progress and n_reads % progress < 2:
-                el = time.time() - t_map0
-                log(f"- Processed {n_reads} reads "
-                    f"({n_reads / max(el, 1e-9):.0f} reads/s)")
+                progress_print()
     else:
         def emit_result(re_e, hits):
             nonlocal n_reads, n_matched, n_matched_conf
@@ -1238,9 +1271,7 @@ def main(argv: list[str] | None = None) -> int:
                 for rec in mapper.sam_records(re_e, hits):
                     out.write(rec.line() + "\n")
             if progress and n_reads % progress == 0:
-                el = time.time() - t_map0
-                log(f"- Processed {n_reads} reads "
-                    f"({n_reads / max(el, 1e-9):.0f} reads/s)")
+                progress_print()
 
         if genome_shards > 1:
             # mesh mode: batch through MeshMapper, emit merged shard hits
@@ -1269,9 +1300,7 @@ def main(argv: list[str] | None = None) -> int:
                     for rec2 in mapper.sam_records(re_e, shard_hits):
                         out.write(rec2.line() + "\n")
                     if progress and n_reads % progress == 0:
-                        el = time.time() - t_map0
-                        log(f"- Processed {n_reads} reads "
-                            f"({n_reads / max(el, 1e-9):.0f} reads/s)")
+                        progress_print()
         elif len(unpaired_option_sets) > 1:
             # multi-round option sets go through map_batch's round loop
             while True:
@@ -1302,6 +1331,9 @@ def main(argv: list[str] | None = None) -> int:
                 emit_result(re_e, hits)
 
     dt = time.time() - t_map0
+    if progress > 0:
+        sys.stderr.write("\n")    # finish the \r progress line
+        #                           (gmapper.c:617-618)
     if un_file:
         fastx.write_fastq(un_file, [r for r in un_recs]) if fastq else \
             fastx.write_fasta(un_file, un_recs)

@@ -61,3 +61,21 @@ def test_messy_paired_intake_drops():
     # one over-length mate + one low-avg-qv mate, counted per failing read
     assert ("Pairs Dropped:                          2    (16.6667%)"
             in r.stderr)
+
+
+def test_stderr_notes_parity():
+    """The reads-file open notes, quality-format note, and progress header
+    in the reference's exact order and text (fasta.c:113-121,
+    gmapper.c:2871-2898,320-322)."""
+    r = _run(["--mode", "ls", "-Q",
+              os.path.join(GOLDEN, "messy_reads.fq"),
+              os.path.join(GOLDEN, "messy_genome.fa")])
+    lines = r.stderr.splitlines()
+    rf = os.path.join(GOLDEN, "messy_reads.fq")
+    i0 = lines.index("Loaded Genome")
+    assert lines[i0 + 1] == (
+        f"note: detected fastq format in input file [{rf}]")
+    assert lines[i0 + 2] == f"- Processing read file [{rf}]"
+    assert lines[i0 + 3] == ("note: quality value format not set "
+                             "explicitly; using PHRED+64")
+    assert lines[i0 + 4] == "done r/hr r/core-hr"
