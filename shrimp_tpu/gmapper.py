@@ -472,8 +472,14 @@ def main(argv: list[str] | None = None) -> int:
             score_assignments.append(("b_gap_open", -255))
             no_hash_filter_calls = True
         elif o in ("-C", "--negative"):
+            if cfg.strand_mask == 1:   # -F already given (gmapper.c:1977)
+                log("error: -C and -F are mutually exclusive")
+                return 1
             cfg.strand_mask = 2
         elif o in ("-F", "--positive"):
+            if cfg.strand_mask == 2:   # -C already given (gmapper.c:1985)
+                log("error: -C and -F are mutually exclusive")
+                return 1
             cfg.strand_mask = 1
         elif o in ("-E", "--sam"):
             shrimp_format = False
@@ -683,6 +689,10 @@ def main(argv: list[str] | None = None) -> int:
     if not shrimp_format and rflag:
         log("-E and -R are incompatable")
         return 1
+    if pair_mode != 0 and cfg.strand_mask != 3:
+        log("warning: in paired mode, both strands must be inspected; "
+            "ignoring -C and -F")          # gmapper.c:2446-2449
+        cfg.strand_mask = 3
 
     score_updates: dict[str, int] = {}
     for key, val in score_assignments:
@@ -1082,9 +1092,14 @@ def main(argv: list[str] | None = None) -> int:
                    or (mate == 0 and trim_first)
                    or (mate == 1 and trim_second))
         if do_trim and (trim_front or trim_end):
-            rec.seq = rec.seq[trim_front:len(rec.seq) - trim_end]
+            keep = len(rec.seq) - trim_front - trim_end
+            rec.seq = rec.seq[trim_front:trim_front + keep]
             if rec.qual:
-                rec.qual = rec.qual[trim_front:len(rec.qual) - trim_end]
+                # the reference trims qual with the SEQ-length loop bound
+                # (trim_read, gmapper.c:265-285); in colour space the seq
+                # counts the primer, so the trimmed qual keeps one more
+                # char than the colour count (visible in CQ:Z and avg-qv)
+                rec.qual = rec.qual[trim_front:trim_front + keep]
         if trim_illumina and not colour and rec.qual:
             # trim trailing Illumina 'B' qualities (gmapper.c:442-455)
             n = len(rec.qual)

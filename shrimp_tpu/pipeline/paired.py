@@ -1320,7 +1320,8 @@ class PairedMapper(Mapper):
                      | (0x20 if fh_m.gen_st == 1 else 0)
                      | (0x40 if first_in_pair else 0x80))
         tags = [t for t in rec.tags if not t.startswith(("Z0", "Z1"))]
-        if cfg.compute_mapping_qualities:
+        if cfg.compute_mapping_qualities and not cfg.all_contigs:
+            # Z fields suppressed under --all-contigs (output.c:691)
             as_idx = 1
             z_tags = [
                 f"Z2:i:{mapq.double_to_neglog(fh_s.z2)}",
@@ -1338,7 +1339,8 @@ class PairedMapper(Mapper):
         rec = self._base_mapped_record(re_s, fh, qname)
         rec.flag |= 0x1 | 0x8 | (0x40 if first_in_pair else 0x80)
         tags = [t for t in rec.tags if not t.startswith(("Z0", "Z1"))]
-        if cfg.compute_mapping_qualities:
+        if cfg.compute_mapping_qualities and not cfg.all_contigs:
+            # Z fields suppressed under --all-contigs (output.c:691)
             z_tags = [
                 f"Z0:i:{mapq.double_to_neglog(fh.z0)}",
                 f"Z1:i:{mapq.double_to_neglog(fh.z1)}",

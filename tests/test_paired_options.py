@@ -81,3 +81,14 @@ def _run_and_compare(args, golden_name):
 ], ids=["ls-3set", "ls-reuse", "cs-2set"])
 def test_paired_options_golden(config, golden):
     _run_and_compare(config, golden)
+
+
+def test_paired_all_contigs_suppresses_z_fields():
+    """--all-contigs in paired mode: every final hit emitted, Z2-Z6 merge
+    fields suppressed (output.c:691,1119). Golden from the reference:
+    gmapper-ls -N 1 -p opp-in --all-contigs -Q golden_pairs.fq ..."""
+    _run_and_compare(
+        ["-Q", "-p", "opp-in", "--all-contigs",
+         os.path.join(GOLDEN, "golden_pairs.fq"),
+         os.path.join(GOLDEN, "golden_genome.fa")],
+        "golden_paired_allcontigs.sam")
