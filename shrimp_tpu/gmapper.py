@@ -983,13 +983,13 @@ def main(argv: list[str] | None = None) -> int:
     # autodetect note(s) (fasta.c:113-121), the Processing line
     # (gmapper.c:2871,2888), the quality-format note (gmapper.c:2890-2902)
     det_fastq = fastq
-    rf_list = [up_file, down_file] if up_file else [reads_files[0]]
     if not no_autodetect:
-        for rf_ in rf_list:
-            d_ = fastx.detect_fastq(rf_)
-            log(f"note: detected {'fastq' if d_ else 'fasta'} "
-                f"format in input file [{rf_}]")
-            det_fastq = d_
+        # only the single/-1 file is opened with autodetect; the -2 file is
+        # opened with the already-set Qflag (gmapper.c:2867-2878)
+        rf_ = up_file if up_file else reads_files[0]
+        det_fastq = fastx.detect_fastq(rf_)
+        log(f"note: detected {'fastq' if det_fastq else 'fasta'} "
+            f"format in input file [{rf_}]")
     if up_file:
         log(f"- Processing read files [{up_file} , {down_file}]")
     else:
