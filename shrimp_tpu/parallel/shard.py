@@ -262,13 +262,20 @@ def sharded_pass1_step(mesh: Mesh, params: SWParams = SWParams(), k: int = 10):
     """
     from jax import shard_map
 
+    from shrimp_tpu.ops.params import ScoreProbs
+
+    probs = ScoreProbs.from_scores(params, False)
+    a = jnp.float32(probs.alpha)
+    bta = jnp.float32(2.0 * probs.alpha + probs.beta)
+
     def per_device(windows, reads):
         # windows: [b, 1, G] local; reads: [b, 1, R] local
         b, s, G = windows.shape
         _, _, R = reads.shape
         scores = sw_score_batch(windows.reshape(b * s, G),
                                 reads.reshape(b * s, R), params)
-        post = jnp.exp2(scores.astype(jnp.float32) / 100.0)  # placeholder map
+        # LS posterior (hit_run_post_sw shortcut, mapping.c:1632-1634)
+        post = jnp.exp2((scores.astype(jnp.float32) - R * bta) / a)
         sc = scores.reshape(b, s)
         pp = post.reshape(b, s)
         z1 = jax.lax.psum(jnp.sum(pp, axis=1), GENOME_AXIS)
