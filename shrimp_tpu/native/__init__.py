@@ -151,6 +151,9 @@ def load_candidates() -> ctypes.CDLL | None:
     lib.pass1_suppress.restype = None
     lib.pass1_suppress.argtypes = [
         i64p, c_ll, i32p, i8p2, i32p, i64p, i64p, i64p, i64p, i64p, u8p]
+    lib.topk_select_batch.restype = c_ll
+    lib.topk_select_batch.argtypes = [
+        i64p, i64p, c_ll, i64p, c_ll, i64p, i64p]
     lib.anchors_from_postings.restype = c_ll
     lib.anchors_from_postings.argtypes = [
         i32p, i64p, i32p, i32p, u8p, c_ll,      # rid, x, y, ln, keep, n

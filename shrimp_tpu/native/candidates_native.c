@@ -846,3 +846,80 @@ long long anchors_from_csr_rm(
     }
     return n_out;
 }
+
+/* ------------------------------------------------------------------ *
+ * Per-read top-k heap selection (read_get_vector_hits,
+ * gmapper/mapping.c:1394-1432; DEF_EXTHEAP insert/replace_min,
+ * common/heap.h:226-300).  Exact move-for-move replica of the explicit
+ * binary min-heap: the final heap ARRAY order (not just the selected
+ * set) feeds pass-2 and breaks all downstream ties, so it must match.
+ *
+ *   rows:   int64[n] live row indices grouped by read, stream order
+ *           within each group;
+ *   bounds: int64[n_groups+1] group prefix offsets into rows;
+ *   keys:   int64 selection key, indexed by row id;
+ *   out:    same layout as rows (group g writes out_n[g] <= K entries
+ *           at out + bounds[g]).
+ */
+static void extheap_insert64(int64_t *a, long long *load, int64_t item,
+                             const int64_t *keys)
+{
+    long long node;
+    a[*load] = item;
+    (*load)++;
+    node = *load;
+    while (node > 1 && keys[a[node - 1]] < keys[a[node / 2 - 1]]) {
+        int64_t t = a[node - 1];
+        a[node - 1] = a[node / 2 - 1];
+        a[node / 2 - 1] = t;
+        node /= 2;
+    }
+}
+
+static void extheap_replace_min64(int64_t *a, long long load, int64_t item,
+                                  const int64_t *keys)
+{
+    long long node = 1;
+    a[0] = item;
+    for (;;) {
+        long long left = node * 2, right = left + 1, mn = node;
+        if (left <= load && keys[a[left - 1]] < keys[a[mn - 1]])
+            mn = left;
+        if (right <= load && keys[a[right - 1]] < keys[a[mn - 1]])
+            mn = right;
+        if (mn == node)
+            break;
+        {
+            int64_t t = a[mn - 1];
+            a[mn - 1] = a[node - 1];
+            a[node - 1] = t;
+        }
+        node = mn;
+    }
+}
+
+long long topk_select_batch(const int64_t *rows, const int64_t *bounds,
+                            long long n_groups, const int64_t *keys,
+                            long long K, int64_t *out, int64_t *out_n)
+{
+    long long g;
+    int64_t *heap = (int64_t *)malloc((size_t)(K > 0 ? K : 1)
+                                      * sizeof(int64_t));
+    if (!heap)
+        return -1;
+    for (g = 0; g < n_groups; g++) {
+        long long load = 0, i;
+        for (i = bounds[g]; i < bounds[g + 1]; i++) {
+            int64_t row = rows[i];
+            if (load < K)
+                extheap_insert64(heap, &load, row, keys);
+            else if (keys[row] > keys[heap[0]])
+                extheap_replace_min64(heap, load, row, keys);
+        }
+        for (i = 0; i < load; i++)
+            out[bounds[g] + i] = heap[i];
+        out_n[g] = load;
+    }
+    free(heap);
+    return 0;
+}

@@ -43,23 +43,49 @@ import functools as _functools
 
 @_functools.partial(__import__("jax").jit,
                     static_argnames=("G", "params", "engine"))
-def _gather_score_ls(genome_dev, lo, wlen, rid, st, reads2, G, params,
-                     engine="scan"):
+def _p1_gather_score_ls(plane_pad, lo, wlen, rid, st, reads2, G, params,
+                        engine="scan"):
     """Fused on-device window gather + pass-1 vector SW (LS).
 
-    genome_dev int8 [L] resident plane; lo int32 [N] absolute window
-    starts; wlen int32 [N]; rid/st int32 [N] select each window's read
-    row from reads2 int8 [B, 2, R].  `engine` picks the (bit-identical)
-    scoring formulation — see sw_vector.sw_score_engine."""
+    plane_pad int8 [L + PASS1_PLANE_PAD] resident genome plane padded
+    with GENOME_PAD; lo int32 [C] absolute window starts; rid/st int32
+    [C] select each window's read row from reads2 int8 [B, 2, R].
+    Windows never overhang their contig (hit_list clamps
+    g_off + w_len <= clen), so bytes at cols < wlen equal the
+    host-gathered bytes and cols >= wlen are masked — bit-identical to
+    the pre-gathered path.  A vmapped dynamic_slice lowers to per-row
+    HBM DMA, ~50x faster than a [C, G] jnp.take gather on TPU."""
+    import jax
     import jax.numpy as jnp
-    cols = jnp.arange(G, dtype=jnp.int32)
-    idx = jnp.minimum(lo[:, None] + cols[None, :],
-                      genome_dev.shape[0] - 1)
-    win = jnp.take(genome_dev, idx)
-    win = jnp.where(cols[None, :] < wlen[:, None], win,
+    win = jax.vmap(
+        lambda l: jax.lax.dynamic_slice_in_dim(plane_pad, l, G))(lo)
+    cols = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+    win = jnp.where(cols < wlen[:, None], win,
                     jnp.int8(sw_vector.GENOME_PAD))
     rb = reads2[rid, st]
     return sw_vector.sw_score_engine(win, rb, params, engine=engine)
+
+
+# pass-1 work is cut into fixed-size chunks: stable compile shapes, no
+# power-of-two padding blow-up on million-window batches, and the host
+# gather of chunk k+1 overlaps the (async-dispatched) device DP of chunk k
+PASS1_CHUNK = 1 << 18
+# bytes of GENOME_PAD appended to the resident device plane so the
+# dynamic_slice window gather stays in bounds at any start < L
+PASS1_PLANE_PAD = 1 << 12
+
+
+def _chunk_sizes(n: int, chunk: int = PASS1_CHUNK) -> list[int]:
+    """Split n rows into kernel invocations: full fixed-size chunks plus
+    one power-of-two tail bucket — compile shapes stay bounded while
+    padding waste stays under half of one tail bucket."""
+    sizes = []
+    while n >= chunk:
+        sizes.append(chunk)
+        n -= chunk
+    if n:
+        sizes.append(_bucket_rows(n))
+    return sizes
 
 
 def _round_up(x: int, m: int) -> int:
@@ -80,6 +106,15 @@ def _pad_rows(arr: np.ndarray, rows: int, fill) -> np.ndarray:
         return arr
     pad_shape = (rows - arr.shape[0],) + arr.shape[1:]
     return np.concatenate([arr, np.full(pad_shape, fill, arr.dtype)])
+
+
+def _concat_aranges(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... as one flat int64 array."""
+    total = int(lengths.sum())
+    starts = np.zeros(len(lengths) + 1, np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(starts[:-1], lengths))
 
 
 @dataclass
@@ -175,6 +210,7 @@ class Mapper:
         self._dev_l3_a2_cap = self.DEVICE_L3_A2_CAP
         self._l3_choice = None          # auto-tune result ("device"/"host")
         self._pass1_engine = None       # auto-tune result (PASS1_ENGINES)
+        self._pass1_path = None         # auto-tune result ("device"/"host")
         # the pipelined streams run two batches on worker threads; counter
         # read-modify-writes must not interleave (#pragma omp atomic
         # analogue, mapping.c:1732-1750)
@@ -243,30 +279,102 @@ class Mapper:
             self._pass1_engine = best
             return best
 
-    def _pass1_dev_ok(self) -> bool:
-        """Device-side pass-1 window gather eligibility (LS, genome plane
-        resident in HBM)."""
-        if self.cfg.colour_space or not self.cfg.device_pass1_gather:
+    def _pass1_dev_ok(self, G: int) -> bool:
+        """Device-side pass-1 window-gather eligibility (LS, genome plane
+        resident in HBM).  cfg.device_pass1_gather: True / False force
+        the path; "auto" resolves by timing both on the first
+        production-shape chunk (TPU only — see _vector_scores)."""
+        if self.cfg.colour_space or self.cfg.device_pass1_gather is False:
             return False
-        if self.index.total_len >= (1 << 31) or self.index.total_len == 0:
+        if self._pass1_path == "host":
             return False
+        if self.index.total_len >= (1 << 31) - PASS1_PLANE_PAD \
+                or self.index.total_len == 0 or G > PASS1_PLANE_PAD:
+            return False
+        if self.cfg.device_pass1_gather == "auto":
+            import jax
+            if jax.default_backend() != "tpu" and self._pass1_path is None:
+                self._pass1_path = "host"
+                return False
+        return True
+
+    def _genome_dev_plane(self):
+        """The resident padded device plane (shipped once per run)."""
         if self._genome_dev is None:
             import jax.numpy as jnp
-            self._genome_dev = jnp.asarray(self.index.genome)
-        return True
+            self._genome_dev = jnp.pad(
+                jnp.asarray(self.index.genome), (0, PASS1_PLANE_PAD),
+                constant_values=sw_vector.GENOME_PAD)
+            self._genome_dev.block_until_ready()
+        return self._genome_dev
 
     # ------------------------------------------------------------------
     def _gather_windows(self, plane: np.ndarray, cn: np.ndarray,
                         g_off: np.ndarray, w_len: np.ndarray,
                         G: int) -> np.ndarray:
-        """Vectorized window extraction → int8 [N, G] padded with GENOME_PAD."""
+        """Vectorized window extraction → int8 [N, G] padded with GENOME_PAD.
+
+        Bulk rows go through a strided sliding-window view indexed by the
+        row's start (one [N] gather — ~4.4x faster than an [N, G] fancy
+        index); the rare rows whose start lies within G of the plane end
+        (where the view's start clamp would shift the contents) take the
+        exact per-element clamp path.  Bit-identical to the element-wise
+        min(lo+col, L-1) gather because windows never overhang their
+        contig (g_off + w_len <= clen)."""
+        L = len(plane)
         lo = self.index.contig_offsets[cn] + g_off
         cols = np.arange(G, dtype=np.int64)[None, :]
-        idxm = np.minimum(lo[:, None] + cols, len(plane) - 1)
-        out = plane[idxm]
-        mask = cols >= w_len[:, None]
-        out = np.where(mask, np.int8(sw_vector.GENOME_PAD), out)
-        return out.astype(np.int8)
+        if G > L:
+            idxm = np.minimum(lo[:, None] + cols, L - 1)
+            out = plane[idxm]
+        else:
+            swv = np.lib.stride_tricks.sliding_window_view(plane, G)
+            out = swv[np.minimum(lo, L - G)]
+            tail = np.flatnonzero(lo > L - G)
+            if len(tail):
+                idxm = np.minimum(lo[tail][:, None] + cols, L - 1)
+                out[tail] = plane[idxm]
+        return np.where(cols >= w_len[:, None],
+                        np.int8(sw_vector.GENOME_PAD),
+                        out).astype(np.int8)
+
+    def _tune_pass1_path(self, plane_pad, lo, wl, ridp, stp, rb2, cn,
+                         g_off_pos, w_len, rid, st, C, G, R, engine):
+        """Resolve host-gather vs device-gather pass-1 once per run by
+        timing both on the first production-shape chunk (real inputs,
+        compile excluded) — the honest re-tune of the round-2
+        device_pass1_gather measurement."""
+        with self._stats_lock:
+            if self._pass1_path is not None:
+                return self._pass1_path == "device"
+            import jax.numpy as jnp
+            p = self.cfg.params
+            rb2_d = jnp.asarray(rb2)
+
+            def run_dev():
+                return np.asarray(_p1_gather_score_ls(
+                    plane_pad, lo, wl, ridp, stp, rb2_d, G, p,
+                    engine=engine))
+
+            def run_host():
+                gb = self._gather_windows(self.index.genome, cn[:C],
+                                          g_off_pos[:C], w_len[:C], G)
+                rb = rb2[rid[:C], st[:C]]
+                gb = _pad_rows(gb, len(lo), sw_vector.GENOME_PAD)
+                rb = _pad_rows(rb, len(lo), sw_vector.READ_PAD)
+                return np.asarray(sw_vector.sw_score_engine(
+                    gb, rb, p, engine=engine))
+
+            run_dev()                        # compile
+            t0 = time.time()
+            run_dev()
+            t_dev = time.time() - t0
+            run_host()                       # compile
+            t0 = time.time()
+            run_host()
+            t_host = time.time() - t0
+            self._pass1_path = "device" if t_dev <= t_host else "host"
+            return self._pass1_path == "device"
 
     def _vector_scores(self, entries, rid, st, cn, g_off_pos, w_len,
                        istrand, G: int, R: int, NB: int,
@@ -278,72 +386,112 @@ class Mapper:
         the input-strand colour read against the CS plane of the hit's
         genome strand, colour 0 against lstocs(letter plane, initbp).
 
-        LS windows are gathered ON DEVICE from the resident genome plane
-        when it fits HBM: per-batch transfer drops from O(windows * G)
-        window bytes to O(windows) int32 indices + one [B, 2, R] read
-        matrix — the difference between 300MB and 16MB per batch at
-        hg18-scale window counts."""
+        Work is dispatched in PASS1_CHUNK-row chunks (async); with
+        sync=False the return value is a list of (device_handle, n_valid)
+        pairs that _pass1_finish concatenates.  LS windows are gathered
+        ON DEVICE from the resident padded genome plane when that wins
+        the per-run path tuning: per-chunk transfer drops from
+        O(windows * G) window bytes to O(windows) int32 starts + one
+        [B, 2, R] read matrix per batch."""
         cfg = self.cfg
+        N = len(rid)
+        engine = self._pass1_engine_choice(
+            min(PASS1_CHUNK, _bucket_rows(N)), G, R)
+        out = []
         if not cfg.colour_space:
-            if self._pass1_dev_ok():
-                lo = (self.index.contig_offsets[cn]
-                      + g_off_pos).astype(np.int32)
-                B = len(entries)
-                rb2 = np.full((B, 2, R), sw_vector.READ_PAD, np.int8)
-                for b, e in enumerate(entries):
-                    rb2[b, 0, :e.read_len] = e.read[0]
-                    rb2[b, 1, :e.read_len] = e.read[1]
-                lo = _pad_rows(lo, NB, 0)
-                ridp = _pad_rows(rid.astype(np.int32), NB, 0)
-                stp = _pad_rows(st.astype(np.int32), NB, 0)
-                wl = _pad_rows(w_len.astype(np.int32), NB, 0)
-                dev = _gather_score_ls(
-                    self._genome_dev, lo, wl, ridp, stp, rb2, G,
-                    cfg.params,
-                    engine=self._pass1_engine_choice(NB, G, R))
-                if not sync:
-                    return dev
-                return np.asarray(dev)[:len(rid)].astype(np.int64)
-            gb = self._gather_windows(self.index.genome, cn, g_off_pos,
-                                      w_len, G)
-            rb = self._reads_matrix(entries, rid, st, R)
-            gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
-            rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
-            dev = sw_vector.sw_score_engine(
-                gb, rb, cfg.params,
-                engine=self._pass1_engine_choice(NB, G, R))
+            rb2 = self._reads2_matrix(entries, R)
+            use_dev = self._pass1_dev_ok(G)
+            if use_dev:
+                plane_pad = self._genome_dev_plane()
+                lo_all = (self.index.contig_offsets[cn]
+                          + g_off_pos).astype(np.int32)
+                if self.cfg.device_pass1_gather == "auto" \
+                        and self._pass1_path is None:
+                    C = min(PASS1_CHUNK, _bucket_rows(N))
+                    use_dev = self._tune_pass1_path(
+                        plane_pad, _pad_rows(lo_all[:C], C, 0),
+                        _pad_rows(w_len[:C].astype(np.int32), C, 0),
+                        _pad_rows(rid[:C].astype(np.int32), C, 0),
+                        _pad_rows(st[:C].astype(np.int32), C, 0),
+                        rb2, cn, g_off_pos, w_len, rid, st,
+                        min(C, N), G, R, engine)
+            if use_dev:
+                import jax.numpy as jnp
+                rb2_d = jnp.asarray(rb2)
+                pos = 0
+                for C in _chunk_sizes(N):
+                    n = min(C, N - pos)
+                    sl = slice(pos, pos + n)
+                    dev = _p1_gather_score_ls(
+                        plane_pad, _pad_rows(lo_all[sl], C, 0),
+                        _pad_rows(w_len[sl].astype(np.int32), C, 0),
+                        _pad_rows(rid[sl].astype(np.int32), C, 0),
+                        _pad_rows(st[sl].astype(np.int32), C, 0),
+                        rb2_d, G, cfg.params, engine=engine)
+                    out.append((dev, n))
+                    pos += n
+            else:
+                pos = 0
+                for C in _chunk_sizes(N):
+                    n = min(C, N - pos)
+                    sl = slice(pos, pos + n)
+                    gb = self._gather_windows(self.index.genome, cn[sl],
+                                              g_off_pos[sl], w_len[sl], G)
+                    rb = rb2[rid[sl], st[sl]]
+                    gb = _pad_rows(gb, C, sw_vector.GENOME_PAD)
+                    rb = _pad_rows(rb, C, sw_vector.READ_PAD)
+                    dev = sw_vector.sw_score_engine(gb, rb, cfg.params,
+                                                    engine=engine)
+                    out.append((dev, n))
+                    pos += n
             if not sync:
-                return dev
-            return np.asarray(dev)[:len(rid)].astype(np.int64)
+                return out
+            return np.concatenate(
+                [np.asarray(d)[:n] for d, n in out]).astype(np.int64)
 
         clen = self.index.contig_len[cn]
-        wl = w_len.astype(np.int64)
-        rev = st != istrand
-        goff_f = np.where(rev, clen - g_off_pos - wl, g_off_pos)
-        g_cs = np.where(
-            rev[:, None],
-            self._gather_windows(self.genome_cs_rc, cn, goff_f, w_len, G),
-            self._gather_windows(self.genome_cs, cn, goff_f, w_len, G))
-        g_ls = np.where(
-            rev[:, None],
-            self._gather_windows(self.genome_rc, cn, goff_f, w_len, G),
-            self._gather_windows(self.index.genome, cn, goff_f, w_len, G))
-        initbp = np.array([entries[r].initbp for r in rid], np.int8)[:, None]
-        row0 = np.where(
-            (g_ls >= 0) & (g_ls <= 3), g_ls ^ initbp,
-            np.where(g_ls == sw_vector.GENOME_PAD,
-                     np.int8(sw_vector.GENOME_PAD),
-                     np.int8(dna.BASE_N))).astype(np.int8)
-        rb = self._reads_matrix(entries, rid, istrand, R)
-        gb = _pad_rows(g_cs.astype(np.int8), NB, sw_vector.GENOME_PAD)
-        rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
-        row0 = _pad_rows(row0, NB, sw_vector.GENOME_PAD)
-        dev = sw_vector.sw_score_engine(
-            gb, rb, self.vect_params, genome_row0=row0,
-            engine=self._pass1_engine_choice(NB, G, R))
+        wl_all = w_len.astype(np.int64)
+        rev_all = st != istrand
+        goff_f_all = np.where(rev_all, clen - g_off_pos - wl_all, g_off_pos)
+        initbp_all = np.array([entries[r].initbp for r in rid], np.int8)
+        rb2 = self._reads2_matrix(entries, R)
+        pos = 0
+        for C in _chunk_sizes(N):
+            n = min(C, N - pos)
+            sl = slice(pos, pos + n)
+            rev = rev_all[sl]
+            goff_f = goff_f_all[sl]
+            g_cs = np.where(
+                rev[:, None],
+                self._gather_windows(self.genome_cs_rc, cn[sl], goff_f,
+                                     w_len[sl], G),
+                self._gather_windows(self.genome_cs, cn[sl], goff_f,
+                                     w_len[sl], G))
+            g_ls = np.where(
+                rev[:, None],
+                self._gather_windows(self.genome_rc, cn[sl], goff_f,
+                                     w_len[sl], G),
+                self._gather_windows(self.index.genome, cn[sl], goff_f,
+                                     w_len[sl], G))
+            initbp = initbp_all[sl][:, None]
+            row0 = np.where(
+                (g_ls >= 0) & (g_ls <= 3), g_ls ^ initbp,
+                np.where(g_ls == sw_vector.GENOME_PAD,
+                         np.int8(sw_vector.GENOME_PAD),
+                         np.int8(dna.BASE_N))).astype(np.int8)
+            rb = rb2[rid[sl], istrand[sl]]
+            gb = _pad_rows(g_cs.astype(np.int8), C, sw_vector.GENOME_PAD)
+            rb = _pad_rows(rb, C, sw_vector.READ_PAD)
+            row0 = _pad_rows(row0, C, sw_vector.GENOME_PAD)
+            dev = sw_vector.sw_score_engine(
+                gb, rb, self.vect_params, genome_row0=row0,
+                engine=engine)
+            out.append((dev, n))
+            pos += n
         if not sync:
-            return dev
-        return np.asarray(dev)[:len(rid)].astype(np.int64)
+            return out
+        return np.concatenate(
+            [np.asarray(d)[:n] for d, n in out]).astype(np.int64)
 
     def map_batch(self, reads: list[tuple[str, str, str | None]],
                   options: list[ReadMappingOptions] | None = None
@@ -715,12 +863,19 @@ class Mapper:
         return merged
 
     # ------------------------------------------------------------------
-    def _reads_matrix(self, entries, rid, st, R) -> np.ndarray:
-        out = np.full((len(rid), R), sw_vector.READ_PAD, np.int8)
-        for n, (ri, s) in enumerate(zip(rid, st)):
-            codes = entries[ri].read[s]
-            out[n, :len(codes)] = codes
+    def _reads2_matrix(self, entries, R) -> np.ndarray:
+        """Padded per-read code planes int8 [B, 2, R] (both strands)."""
+        out = np.full((len(entries), 2, R), sw_vector.READ_PAD, np.int8)
+        for b, e in enumerate(entries):
+            out[b, 0, :e.read_len] = e.read[0]
+            out[b, 1, :e.read_len] = e.read[1]
         return out
+
+    def _reads_matrix(self, entries, rid, st, R) -> np.ndarray:
+        """Per-window read rows int8 [N, R]: one vectorized take by
+        (rid, st) from the [B, 2, R] batch plane (the former per-window
+        Python loop was ~25x slower at million-window batches)."""
+        return self._reads2_matrix(entries, R)[rid, st]
 
     def _gapless_scores(self, entries, rid, st, cn, g_off_pos, ax, ay,
                         al, aw, w_len, R: int, NB: int, sync: bool = True):
@@ -767,7 +922,7 @@ class Mapper:
             dev = sw_gapless.gapless_score_batch(diag, rrow,
                                                  self.vect_params)
             if not sync:
-                return dev
+                return [(dev, len(rid))]
             return np.asarray(dev)[:len(rid)].astype(np.int64)
 
         # ---- colour space: reverse_hit framing (mapping.c:272-281);
@@ -815,7 +970,7 @@ class Mapper:
         s0 = _pad_rows(s0, NB, 0)
         dev = sw_gapless.gapless_score_batch(diag_cs, rrow, p, s0=s0)
         if not sync:
-            return dev
+            return [(dev, len(rid))]
         return np.asarray(dev)[:len(rid)].astype(np.int64)
 
     def _pass1_dispatch(self, entries, hb: cb.HitBatch, opts):
@@ -858,7 +1013,8 @@ class Mapper:
         rid = ctx["rid"]
         st = ctx["st"]
         _t0 = time.time()
-        scores = np.asarray(ctx["dev"])[:len(idxs)].astype(np.int64)
+        scores = np.concatenate(
+            [np.asarray(d)[:n] for d, n in ctx["dev"]]).astype(np.int64)
         _f1_secs = time.time() - _t0
         score_max = hb.score_max[idxs].astype(np.int64)
         if opts.pass1.threshold >= 0:
@@ -938,17 +1094,44 @@ class Mapper:
         # per-read top-k via the reference's explicit min-heap — the heap
         # ARRAY order feeds pass2 and breaks all downstream ties
         # (read_get_vector_hits, mapping.c:1394-1432)
-        from shrimp_tpu.utils import extheap
         with self.tel.stage("get_vector_hits"):
-            sel_rows = []
             ln = np.flatnonzero(live)
-            by_read: dict[int, list[int]] = {}
-            for n in ln:                  # stream order = hit-list order
-                by_read.setdefault(int(rid[n]), []).append(int(n))
-            for r in sorted(by_read):
-                sel_rows.extend(extheap.topk_select(
-                    by_read[r], key, opts.pass1.num_outputs))
-            sel_rows = np.array(sel_rows, dtype=np.int64)
+            # group live rows by read, stream order preserved within a
+            # read (stable sort of the already-ascending row ids)
+            rows_sorted = ln[np.argsort(rid[ln], kind="stable")] \
+                .astype(np.int64)
+            uniq_r, first = np.unique(rid[rows_sorted], return_index=True)
+            bounds = np.concatenate(
+                [first, [len(rows_sorted)]]).astype(np.int64)
+            K = opts.pass1.num_outputs
+            sel_rows = None
+            if _clib is not None and hasattr(_clib, "topk_select_batch"):
+                import ctypes as _ct
+                _i64p = _ct.POINTER(_ct.c_longlong)
+                key64 = np.ascontiguousarray(key, np.int64)
+                out64 = np.empty(len(rows_sorted), np.int64)
+                out_n = np.empty(len(uniq_r), np.int64)
+                rc = _clib.topk_select_batch(
+                    rows_sorted.ctypes.data_as(_i64p),
+                    np.ascontiguousarray(bounds).ctypes.data_as(_i64p),
+                    len(uniq_r), key64.ctypes.data_as(_i64p), K,
+                    out64.ctypes.data_as(_i64p),
+                    out_n.ctypes.data_as(_i64p))
+                if rc == 0:
+                    if int(out_n.sum()) == len(rows_sorted):
+                        sel_rows = out64
+                    else:
+                        take = (np.repeat(bounds[:-1], out_n)
+                                + _concat_aranges(out_n))
+                        sel_rows = out64[take]
+            if sel_rows is None:
+                from shrimp_tpu.utils import extheap
+                sel_list = []
+                for g in range(len(uniq_r)):
+                    sel_list.extend(extheap.topk_select(
+                        rows_sorted[bounds[g]:bounds[g + 1]].tolist(),
+                        key, K))
+                sel_rows = np.array(sel_list, dtype=np.int64)
         src = idxs[sel_rows]
         return {
             "rid": rid[sel_rows], "st": st[sel_rows],

@@ -120,11 +120,12 @@ class MapperConfig:
     # path wins, through a high-latency tunnel the native host path does)
     device_candidates: object = "auto"
     # LS pass1 on-device window gather from the resident genome plane:
-    # cuts per-batch host->device bytes ~20x, but measured slower than
-    # shipping pre-gathered windows on this hardware (the batched gather
-    # lowering beats the transfer only on high-bandwidth interconnects);
-    # off by default, flip on for co-located chips
-    device_pass1_gather: bool = False
+    # cuts per-batch host->device bytes ~20x AND replaces the host-side
+    # window materialization with per-row HBM DMA (vmapped dynamic_slice;
+    # the round-2 jnp.take formulation that measured slower is gone).
+    # "auto" times both paths on the first production-shape chunk on TPU
+    # (host path is kept on CPU backends); True / False force a path
+    device_pass1_gather: object = "auto"
     # pass-1 vector-SW formulation: "auto" (time scan/rows/pallas at the
     # first production-shape batch on TPU and keep the fastest — all
     # three are bit-identical), or force one of sw_vector.PASS1_ENGINES;
