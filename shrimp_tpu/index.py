@@ -259,8 +259,14 @@ class GenomeIndex:
 
 
 def build_index(contigs: list[fastx.Contig], seed_set: SeedSet | None = None,
-                colour_space: bool = False) -> GenomeIndex:
-    """Build the CSR index from contigs (load_genome, genome.c:1012-1186)."""
+                colour_space: bool = False,
+                postings: bool = True) -> GenomeIndex:
+    """Build the CSR index from contigs (load_genome, genome.c:1012-1186).
+
+    postings=False skips the seed scan and returns empty posting lists —
+    an emission-only index (contig tables + genome planes) used by the
+    distributed genome-axis merge, which renders other shards' hits but
+    never maps against them."""
     if seed_set is None:
         seed_set = make_seed_set()
 
@@ -311,6 +317,10 @@ def build_index(contigs: list[fastx.Contig], seed_set: SeedSet | None = None,
     for sn, seed in enumerate(seed_set.seeds):
         span = seed.span
         nb = n_buckets_list[sn]
+        if not postings:
+            offsets_per_seed.append(np.zeros(nb + 1, np.int64))
+            positions_per_seed.append(np.zeros(0, np.uint32))
+            continue
         if L < span:
             offsets_per_seed.append(np.zeros(nb + 1, np.int64))
             positions_per_seed.append(np.zeros(0, np.uint32))

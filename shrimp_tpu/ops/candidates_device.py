@@ -42,6 +42,10 @@ import numpy as np
 NEG = jnp.int32(-(1 << 30))
 INVALID_X = jnp.int32(0x7FFFFFF0)
 
+# above this (read x region) entry count the region pruning switches from
+# the dense scatter-add visit table to the sparse sort formulation
+DENSE_REGION_TABLE_MAX = 1 << 28
+
 
 class DeviceL3Index(NamedTuple):
     """Device-resident CSR index with all seeds' positions concatenated."""
@@ -193,7 +197,7 @@ class _Statics(NamedTuple):
                      "region_bits", "region_overlap", "collapse",
                      "gapless", "match_mode", "threshold", "match",
                      "b_gap_open", "b_gap_extend", "list_cutoff",
-                     "num_contigs"))
+                     "num_contigs", "dense_region_cap"))
 def _device_candidates(codes: jax.Array,       # int8 [B, R] one strand
                       rlen: jax.Array,         # int32 [B]
                       minpos: jax.Array,       # int32 [B] min_kmer_pos
@@ -225,7 +229,8 @@ def _device_candidates(codes: jax.Array,       # int8 [B, R] one strand
                       b_gap_open: int = -33,
                       b_gap_extend: int = -3,
                       list_cutoff: int = 0x7FFFFFFF,
-                      num_contigs: int = 1):
+                      num_contigs: int = 1,
+                      dense_region_cap: int = DENSE_REGION_TABLE_MAX):
     """Whole-batch exact candidate windows for one strand.
 
     Returns dict of [h_cap] padded window columns + `emit` mask +
@@ -287,25 +292,56 @@ def _device_candidates(codes: jax.Array,       # int8 [B, R] one strand
     aln = jnp.where(avalid, jnp.take(span_row, seg), 0)
 
     # ---- region-count pruning (region_has2_filter) ----
-    # sort-free: a dense (read, region) int16 visit table built with one
-    # scatter-add — TPU 1-D sorts are the expensive op, HBM scatters are
-    # not.  Table size B * n_regions is bounded by the eligibility check
-    # in the caller.  Per-(read,region) visits < 2^15 structurally
-    # (<= (2^region_bits + overlap) * n_seeds).
+    # Two formulations, chosen statically by table size:
+    #  * dense (small genomes): a (read, region) int16 visit table built
+    #    with one scatter-add — TPU 1-D sorts are the expensive op, HBM
+    #    scatters are not.  Per-(read,region) visits < 2^15 structurally
+    #    (<= (2^region_bits + overlap) * n_seeds).
+    #  * sparse (Gbp genomes, where B * n_regions would blow HBM): sort
+    #    the (rid, region) visit pairs (main + previous-region extension
+    #    entries, read_get_region_counts semantics mapping.c:475-540),
+    #    mark entries lying in a run of length >= 2, and scatter-OR the
+    #    verdicts back to their source anchors.  An anchor keeps iff any
+    #    of its visit entries lies in a >= 2 run — exactly
+    #    "main_key in has2 OR (ext AND main_key-1 in has2)", since the
+    #    ext entry's key IS main_key-1.
     if use_region_counts:
         reg = ax >> region_bits
         off_in = ax & ((1 << region_bits) - 1)
         ext = avalid & (off_in < region_overlap) & (reg > 0)
-        flat = arid * n_regions + reg                       # int32 [a_cap]
-        table = jnp.zeros(B * n_regions + 1, jnp.int16)
-        DROP = B * n_regions
-        table = table.at[jnp.where(avalid, flat, DROP)].add(
-            jnp.int16(1), mode="drop")
-        table = table.at[jnp.where(ext, flat - 1, DROP)].add(
-            jnp.int16(1), mode="drop")
-        cnt_main = jnp.take(table, jnp.where(avalid, flat, DROP))
-        cnt_prev = jnp.take(table, jnp.where(ext, flat - 1, DROP))
-        keep = (cnt_main >= 2) | (ext & (cnt_prev >= 2))
+        if B * n_regions <= dense_region_cap:
+            flat = arid * n_regions + reg                   # int32 [a_cap]
+            table = jnp.zeros(B * n_regions + 1, jnp.int16)
+            DROP = B * n_regions
+            table = table.at[jnp.where(avalid, flat, DROP)].add(
+                jnp.int16(1), mode="drop")
+            table = table.at[jnp.where(ext, flat - 1, DROP)].add(
+                jnp.int16(1), mode="drop")
+            cnt_main = jnp.take(table, jnp.where(avalid, flat, DROP))
+            cnt_prev = jnp.take(table, jnp.where(ext, flat - 1, DROP))
+            keep = (cnt_main >= 2) | (ext & (cnt_prev >= 2))
+        else:
+            REG_SENT = jnp.int32(0x7FFFFFF0)
+            vrid = jnp.concatenate([jnp.where(avalid, arid, jnp.int32(B)),
+                                    jnp.where(ext, arid, jnp.int32(B))])
+            vreg = jnp.concatenate([jnp.where(avalid, reg, REG_SENT),
+                                    jnp.where(ext, reg - 1, REG_SENT)])
+            vsrc = jnp.concatenate([jnp.where(avalid, slot, a_cap),
+                                    jnp.where(ext, slot, a_cap)])
+            # (rid, reg) lex order via two stable int32 passes
+            o1 = jnp.argsort(vreg, stable=True)
+            o2 = jnp.argsort(jnp.take(vrid, o1), stable=True)
+            order = jnp.take(o1, o2)
+            sr = jnp.take(vrid, order)
+            sg = jnp.take(vreg, order)
+            ssrc = jnp.take(vsrc, order)
+            eq_prev = jnp.concatenate([
+                jnp.zeros(1, bool),
+                (sr[1:] == sr[:-1]) & (sg[1:] == sg[:-1])])
+            eq_next = jnp.concatenate([eq_prev[1:], jnp.zeros(1, bool)])
+            has2 = (eq_prev | eq_next).astype(jnp.int8)
+            keep = (jnp.zeros(a_cap, jnp.int8)
+                    .at[ssrc].max(has2, mode="drop")) > 0
         avalid = avalid & keep
         ax = jnp.where(avalid, ax, INVALID_X)
         arid = jnp.where(avalid, arid, jnp.int32(B))

@@ -227,13 +227,11 @@ class MeshMapper(_ShardAggregates):
         return lines
 
 
-def split_index_shards(contigs, n_shards: int, seed_set=None,
-                       colour_space: bool = False):
-    """split-db style sharding: group whole contigs into n_shards
+def split_contig_bins(contigs, n_shards: int) -> list[list]:
+    """split-db style contig binning: group whole contigs into n_shards
     contiguous, size-balanced groups (contigs are never split,
     README:158-164; original order preserved so score-tie ordering in the
-    merge matches the single-index run), then build one index per shard."""
-    from shrimp_tpu import index as gindex
+    merge matches the single-index run)."""
     contigs = list(contigs)
     total = sum(len(c.codes) for c in contigs)
     target = total / max(n_shards, 1)
@@ -245,8 +243,127 @@ def split_index_shards(contigs, n_shards: int, seed_set=None,
             acc = 0
         bins[-1].append(c)
         acc += len(c.codes)
+    return [b for b in bins if b]
+
+
+def split_index_shards(contigs, n_shards: int, seed_set=None,
+                       colour_space: bool = False):
+    """Binning + one index build per shard (the in-process mesh path; the
+    genome-axis runner builds only its own rank's bin)."""
+    from shrimp_tpu import index as gindex
     return [gindex.build_index(b, seed_set, colour_space=colour_space)
-            for b in bins if b]
+            for b in split_contig_bins(contigs, n_shards)]
+
+
+def merge_paired_shard_results(per_shard, nP: int, cfg, pcfg, merge_mapper,
+                               thr, K, merge_strata: bool,
+                               collect_z: bool = False):
+    """Cross-shard paired merge — the MAPPING_QUALITIES Part-2c reduce.
+
+    per_shard: per shard, the list of PairResult from the shard funnel
+    run with compute_mqv=False (shard order == contig order, so a stable
+    sort by the pair key reproduces the single-index candidate ordering —
+    readpair_pass2's sort).  merge_mapper must carry mqv_total_len = the
+    WHOLE genome length.  Shared by MeshPairedMapper (intra-process mesh)
+    and the jax.distributed genome-axis runner (per_shard reconstructed
+    from rank sidecars on rank 0) so both merge byte-identically.
+
+    Returns (out, z3_local, z6_local): out = [(PairResult, tagged_pairs,
+    tagged_unpaired)] and, when collect_z, the per-(shard, pair) z sums
+    for the collective self-check (z3_s over UNIQUE foot-0 groups — z2 is
+    per-foot, a foot paired with several mates appears once; z6_s over
+    pairs, the insert-prior denominator)."""
+    from shrimp_tpu.pipeline.options import is_absolute
+    from shrimp_tpu.pipeline.paired import PairResult
+
+    S = len(per_shard)
+    out = []
+    z3_local = np.zeros((S, nP), np.float64)
+    z6_local = np.zeros((S, nP), np.float64)
+    for pi in range(nP):
+        tagged_pairs = []
+        for s in range(S):
+            for fh0, fh1, isz in per_shard[s][pi].paired_hits:
+                tagged_pairs.append((s, fh0, fh1, isz))
+
+        def pkey(t):
+            total = t[1].score_full + t[2].score_full
+            if is_absolute(thr):
+                return total
+            smax = t[1].score_max + t[2].score_max
+            return (100000 * total) // smax
+
+        tagged_pairs.sort(key=lambda t: -pkey(t))
+        tagged_pairs = tagged_pairs[:K]
+        if merge_strata and tagged_pairs:
+            top = (tagged_pairs[0][1].score_full
+                   + tagged_pairs[0][2].score_full)
+            tagged_pairs = [t for t in tagged_pairs
+                            if t[1].score_full + t[2].score_full == top]
+        if tagged_pairs and cfg.max_alignments \
+           and len(tagged_pairs) > cfg.max_alignments:
+            tagged_pairs = []
+
+        # ---- merge half-paired fallback hits per side ----
+        tagged_unp = []
+        for nip in (0, 1):
+            side = []
+            for s in range(S):
+                for n, fh in per_shard[s][pi].unpaired_hits:
+                    if n == nip:
+                        side.append((s, nip, fh))
+            side.sort(key=lambda t: -t[2].pass2_key)
+            side = side[:cfg.num_outputs]
+            if cfg.strata and side:
+                top = side[0][2].score_full
+                side = [t for t in side if t[2].score_full == top]
+            if side and cfg.max_alignments \
+               and len(side) > cfg.max_alignments:
+                side = []
+            tagged_unp.extend(side)
+
+        pr = PairResult(re=per_shard[0][pi].re)
+        pr.paired_hits = [(fh0, fh1, isz)
+                          for _, fh0, fh1, isz in tagged_pairs]
+        pr.unpaired_hits = [(nip, fh) for _, nip, fh in tagged_unp]
+        if cfg.compute_mapping_qualities:
+            merge_mapper._paired_mqv(pr)
+        if collect_z:
+            seen0 = set()
+            for s, fh0, fh1, isz in tagged_pairs:
+                if id(fh0) not in seen0:
+                    seen0.add(id(fh0))
+                    z3_local[s, pi] += fh0.z2
+                z6_local[s, pi] += mapq.get_pr_insert_size(
+                    isz, pcfg.insert_size_mean, pcfg.insert_size_stddev)
+        out.append((pr, tagged_pairs, tagged_unp))
+    return out, z3_local, z6_local
+
+
+def sam_records_pair_tagged(mappers, cfg, pr, tagged_pairs, tagged_unp):
+    """readpair_output emission (output.c:1237-1282), each hit rendered
+    through its owning shard's contig table (mappers[s]); shared by
+    MeshPairedMapper and the genome-axis rank-0 assembly."""
+    recs = []
+    re = pr.re
+    for s, fh0, fh1, isz in tagged_pairs:
+        m = mappers[s]
+        recs.append(m._paired_record(re[0], fh0, re[1], fh1, isz, True))
+        m._append_tail_tags(recs[-1], re[0], fh0, mate_re=re[1])
+        recs.append(m._paired_record(re[1], fh1, re[0], fh0, -isz, False))
+        m._append_tail_tags(recs[-1], re[1], fh1, mate_re=re[0])
+    for s, nip, fh in tagged_unp:
+        m = mappers[s]
+        mate_nip = 1 - nip
+        mapped = m._halfpair_record(re[nip], fh, re[mate_nip], nip == 0)
+        m._append_tail_tags(mapped, re[nip], fh, mate_re=re[mate_nip])
+        unmapped = m._mate_unmapped_record(re[mate_nip], re[nip], fh,
+                                           mate_nip == 0)
+        m._append_tail_tags(unmapped, re[mate_nip], None, mate_re=re[nip])
+        recs.extend([mapped, unmapped] if nip == 0 else [unmapped, mapped])
+    if not tagged_pairs and not tagged_unp and cfg.sam_unaligned:
+        return mappers[0].sam_records_pair(pr)
+    return recs
 
 
 class MeshPairedMapper(_ShardAggregates):
@@ -328,77 +445,12 @@ class MeshPairedMapper(_ShardAggregates):
                         else self.cfg.strata)
 
         nP = len(pairs)
-        out = []
         check_collective = (self.S > 1 and cfg.compute_mapping_qualities
                             and not getattr(self, "_z_collective_checked",
                                             False))
-        z3_local = np.zeros((self.S, nP), np.float64)
-        z6_local = np.zeros((self.S, nP), np.float64)
-        for pi in range(nP):
-            # ---- merge paired hits: shard order == contig order, so a
-            # stable sort by the pair key reproduces the single-index
-            # candidate ordering (readpair_pass2's sort, paired.py) ----
-            tagged_pairs = []
-            for s in range(self.S):
-                for fh0, fh1, isz in per_shard[s][pi].paired_hits:
-                    tagged_pairs.append((s, fh0, fh1, isz))
-
-            def pkey(t):
-                total = t[1].score_full + t[2].score_full
-                if is_absolute(thr):
-                    return total
-                smax = t[1].score_max + t[2].score_max
-                return (100000 * total) // smax
-
-            tagged_pairs.sort(key=lambda t: -pkey(t))
-            tagged_pairs = tagged_pairs[:K]
-            if merge_strata and tagged_pairs:
-                top = (tagged_pairs[0][1].score_full
-                       + tagged_pairs[0][2].score_full)
-                tagged_pairs = [t for t in tagged_pairs
-                                if t[1].score_full + t[2].score_full == top]
-            if tagged_pairs and cfg.max_alignments \
-               and len(tagged_pairs) > cfg.max_alignments:
-                tagged_pairs = []
-
-            # ---- merge half-paired fallback hits per side ----
-            tagged_unp = []
-            for nip in (0, 1):
-                side = []
-                for s in range(self.S):
-                    for n, fh in per_shard[s][pi].unpaired_hits:
-                        if n == nip:
-                            side.append((s, nip, fh))
-                side.sort(key=lambda t: -t[2].pass2_key)
-                side = side[:cfg.num_outputs]
-                if cfg.strata and side:
-                    top = side[0][2].score_full
-                    side = [t for t in side if t[2].score_full == top]
-                if side and cfg.max_alignments \
-                   and len(side) > cfg.max_alignments:
-                    side = []
-                tagged_unp.extend(side)
-
-            pr = PairResult(re=per_shard[0][pi].re)
-            pr.paired_hits = [(fh0, fh1, isz)
-                              for _, fh0, fh1, isz in tagged_pairs]
-            pr.unpaired_hits = [(nip, fh) for _, nip, fh in tagged_unp]
-            if cfg.compute_mapping_qualities:
-                self._merge_mapper._paired_mqv(pr)
-            # per-shard z sums for the collective self-check (first
-            # batch only): z3_s over UNIQUE foot-0 groups (z2 is
-            # per-foot, a foot paired with several mates appears once),
-            # z6_s over pairs (the insert-prior denominator)
-            if check_collective:
-                seen0 = set()
-                for s, fh0, fh1, isz in tagged_pairs:
-                    if id(fh0) not in seen0:
-                        seen0.add(id(fh0))
-                        z3_local[s, pi] += fh0.z2
-                    z6_local[s, pi] += mapq.get_pr_insert_size(
-                        isz, self.pcfg.insert_size_mean,
-                        self.pcfg.insert_size_stddev)
-            out.append((pr, tagged_pairs, tagged_unp))
+        out, z3_local, z6_local = merge_paired_shard_results(
+            per_shard, nP, cfg, self.pcfg, self._merge_mapper,
+            thr, K, merge_strata, collect_z=check_collective)
 
         # ---- the collective form of the Part-2c sums: z3 := Σ_s z3_s,
         # z6 := Σ_s z6_s as a psum over the genome mesh axis, float64
@@ -427,28 +479,6 @@ class MeshPairedMapper(_ShardAggregates):
     def sam_records_pair(self, pr, tagged_pairs, tagged_unp):
         """readpair_output emission (output.c:1237-1282), each hit
         rendered through its owning shard's contig table."""
-        cfg = self.cfg
-        recs = []
-        re = pr.re
-        for s, fh0, fh1, isz in tagged_pairs:
-            m = self.mappers[s]
-            recs.append(m._paired_record(re[0], fh0, re[1], fh1, isz, True))
-            m._append_tail_tags(recs[-1], re[0], fh0, mate_re=re[1])
-            recs.append(m._paired_record(re[1], fh1, re[0], fh0, -isz,
-                                         False))
-            m._append_tail_tags(recs[-1], re[1], fh1, mate_re=re[0])
-        for s, nip, fh in tagged_unp:
-            m = self.mappers[s]
-            mate_nip = 1 - nip
-            mapped = m._halfpair_record(re[nip], fh, re[mate_nip], nip == 0)
-            m._append_tail_tags(mapped, re[nip], fh, mate_re=re[mate_nip])
-            unmapped = m._mate_unmapped_record(re[mate_nip], re[nip], fh,
-                                               mate_nip == 0)
-            m._append_tail_tags(unmapped, re[mate_nip], None,
-                                mate_re=re[nip])
-            recs.extend([mapped, unmapped] if nip == 0
-                        else [unmapped, mapped])
-        if not tagged_pairs and not tagged_unp and cfg.sam_unaligned:
-            return self.mappers[0].sam_records_pair(pr)
-        return recs
+        return sam_records_pair_tagged(self.mappers, self.cfg, pr,
+                                       tagged_pairs, tagged_unp)
 

@@ -99,6 +99,7 @@ def main(argv=None) -> int:
     process_id = 0
     out = "out.sam"
     block = 1000
+    genome_axis = False
     rest = []
     it = iter(range(len(argv)))
     i = 0
@@ -114,6 +115,8 @@ def main(argv=None) -> int:
             out = argv[i + 1]; i += 2
         elif a == "--block":
             block = int(argv[i + 1]); i += 2
+        elif a == "--genome-axis":
+            genome_axis = True; i += 1
         elif a == "--":
             rest = argv[i + 1:]
             break
@@ -124,6 +127,13 @@ def main(argv=None) -> int:
 
     if num_processes > 1:
         init_distributed(coordinator, num_processes, process_id)
+
+    if genome_axis:
+        # the GENOME mesh axis spans the processes: each rank holds one
+        # index shard and maps the FULL read stream; z statistics cross
+        # DCN (parallel/genome_axis.py)
+        from shrimp_tpu.parallel import genome_axis as ga
+        return ga.run(rest, out, num_processes, process_id)
 
     # run gmapper over this host's read share: shard the reads file up
     # front into a rank-local temp file, then delegate to the standard CLI

@@ -678,7 +678,6 @@ class Mapper:
     DEVICE_L3_A2_CAP = 1 << 17
     DEVICE_L3_A_CAP_MAX = 1 << 24
     DEVICE_L3_H_CAP = 1 << 18
-    DEVICE_L3_TABLE_MAX = 1 << 28      # (reads x regions) int16 entries
 
     def _l3_autotune(self, entries, opts) -> bool:
         """Pick the faster L3 path by timing both once (compile excluded):
@@ -688,13 +687,21 @@ class Mapper:
             return self._l3_choice == "device"
         if not self._device_l3_ok(entries, opts):
             return False                  # stay undecided until eligible
-        # warm (compile) then time the device path
-        if self._candidates_device(entries, opts) is None:
+        # warm (compile) then time the device path; an OOM (Gbp-scale
+        # postings may not fit HBM next to the pass-1 plane) is a
+        # permanent host verdict, not a crash
+        try:
+            if self._candidates_device(entries, opts) is None:
+                self._l3_choice = "host"
+                return False
+            t0 = time.time()
+            self._candidates_device(entries, opts)
+            t_dev = time.time() - t0
+        except Exception:
+            self._bump(device_l3_fallbacks=1)
             self._l3_choice = "host"
+            self._dev_l3 = None
             return False
-        t0 = time.time()
-        self._candidates_device(entries, opts)
-        t_dev = time.time() - t0
         saved, self.cfg.device_candidates = self.cfg.device_candidates, False
         t0 = time.time()
         try:
@@ -726,18 +733,11 @@ class Mapper:
             return False
         if len(entries) > (1 << 12):
             return False
-        # packed uint32 region key needs 12 rid bits + (31-region_bits)
-        # region bits (candidates_device capacity contract)
-        if opts.anchor_list.use_region_counts and \
-                (32 - cb.REGION_BITS) < 12:
-            return False
         if opts.hit_list.match_mode == 3:          # paired heavy-mp path
             return False
-        if opts.anchor_list.use_region_counts:
-            n_regions = (self.index.total_len >> cb.REGION_BITS) + 1
-            if _bucket_rows(len(entries), lo=256) * n_regions \
-                    > self.DEVICE_L3_TABLE_MAX:
-                return False
+        # no region-table size gate: past DENSE_REGION_TABLE_MAX entries
+        # the kernel switches to the sparse sort formulation, so Gbp
+        # genomes stay eligible (VERDICT r2 #3)
         return True
 
     def _candidates_device(self, entries, opts):

@@ -47,7 +47,7 @@ def run_host(idx, cfg, entries, st, opts_hl, use_regions=False,
 
 def run_device(idx, cfg, entries, st, opts_hl, use_regions=False,
                collapse=True, list_cutoff=0x7FFFFFFF,
-               a_cap=1 << 18, h_cap=1 << 16):
+               a_cap=1 << 18, h_cap=1 << 16, dense_region_cap=None):
     B = len(entries)
     Rmax = max(e.read_len for e in entries)
     codes = np.zeros((B, Rmax), np.int8)
@@ -78,7 +78,9 @@ def run_device(idx, cfg, entries, st, opts_hl, use_regions=False,
         match=p.match, b_gap_open=p.b_gap_open,
         b_gap_extend=p.b_gap_extend,
         list_cutoff=min(list_cutoff, 0x7FFFFFFF),
-        num_contigs=idx.num_contigs)
+        num_contigs=idx.num_contigs,
+        **({} if dense_region_cap is None
+           else {"dense_region_cap": dense_region_cap}))
     out = {k: np.asarray(v) for k, v in out.items()}
     assert not out["overflow"], "unexpected capacity overflow in test"
     n = int(out["n"])
@@ -156,3 +158,15 @@ def test_device_list_cutoff():
     hb = run_host(idx, cfg, entries, 0, opts, list_cutoff=2)
     cols, n = run_device(idx, cfg, entries, 0, opts, list_cutoff=2)
     assert_match(hb, cols, n, 0)
+
+
+@pytest.mark.parametrize("st", [0, 1])
+def test_device_matches_host_sparse_regions(st):
+    """The sparse sort-based region-count formulation (Gbp-scale path,
+    forced here via a zero dense-table cap) is bit-exact vs the host."""
+    idx, cfg, entries = make_setup(seed=23)
+    opts = HitListOptions(match_mode=2, threshold=55.0)
+    hb = run_host(idx, cfg, entries, st, opts, use_regions=True)
+    cols, n = run_device(idx, cfg, entries, st, opts,
+                         use_regions=True, dense_region_cap=0)
+    assert_match(hb, cols, n, st)
