@@ -1370,6 +1370,13 @@ def main(argv: list[str] | None = None) -> int:
                           else n_intake_reads_skipped),
         num_threads=threads,
         dflag=d_stats,
+        engine_info={
+            "pass1_engine": getattr(mapper, "_pass1_engine", None),
+            "pass1_path": getattr(mapper, "_pass1_path", None),
+            "l3_choice": getattr(mapper, "_l3_choice", None),
+            "device_candidates": cfg.device_candidates,
+            "device_l3_fallbacks": ms.get("device_l3_fallbacks", 0),
+        },
         pair_mode_none=(pair_mode == 0),
         half_paired=cfg.half_paired,
         total_reads_matched=(n_matched if pair_mode == 0

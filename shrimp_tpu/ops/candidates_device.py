@@ -3,9 +3,8 @@
 A faithful port of the host pipeline (`pipeline/candidates_batch.py`:
 expand_postings -> region_has2_filter -> anchors_batch collapse ->
 hit_list_batch) into one fixed-shape jitted XLA program, bit-identical to
-the host path (tested in tests/test_candidates_device.py).  Where round 1's
-`ops/candidates_tpu.py` was a simplified demo (single contig, per-kmer
-caps, no regions), this implements the real semantics:
+the host path (tested in tests/test_candidates_device.py), implementing
+the real semantics (round 1's simplified demo module is retired):
 
   * CSR posting expansion in exact host order (seed-major, then (read,
     kmer) row-major, then list order) via prefix-sum + searchsorted

@@ -7,8 +7,7 @@ and the per-read mapping-quality statistics are recombined exactly with
 collectives instead of the reference's SAM-file side channel
 (`mergesam/sam_reader.c:127-270`; z1 := Σ_j z1_j is a psum).
 
-Unlike round 1's demo (`shard.py:sharded_end_to_end_step`, argmax-only),
-each shard here runs the REAL production funnel — the same `Mapper` stages
+Each shard here runs the REAL production funnel — the same `Mapper` stages
 as a single-device run (device-L3 candidates, pass-1 vector/gapless filter
 with overlap suppression and extheap top-k, pass-2 full SW with fused
 traceback, posterior/dedup/strata/max-alignments) — staged so one shard's

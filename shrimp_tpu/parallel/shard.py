@@ -116,138 +116,6 @@ class ShardedMapper:
         return self.mappers[sn].index.contig_names[cn]
 
 
-def stack_shard_indexes(indexes):
-    """Stack N single-shard host indexes into mesh-shardable arrays.
-
-    Returns (offsets, positions, genome, meta): offsets/positions are
-    per-seed tuples of [S, ...] arrays (positions padded to the longest
-    shard), genome is int8 [S, Gmax] (padded with N codes), and meta holds
-    the static seed layout + per-shard genome length.
-    """
-    n_seeds = len(indexes[0].offsets)
-    offsets = tuple(
-        np.stack([idx.offsets[sn].astype(np.int32) for idx in indexes])
-        for sn in range(n_seeds))
-    pmax = max(max(len(idx.positions[sn]) for idx in indexes) or 1
-               for sn in range(n_seeds))
-    positions = tuple(
-        np.stack([np.pad(idx.positions[sn].astype(np.int32),
-                         (0, pmax - len(idx.positions[sn])))
-                  for idx in indexes])
-        for sn in range(n_seeds))
-    gmax = max(len(idx.genome) for idx in indexes)
-    genome = np.stack([np.pad(idx.genome, (0, gmax - len(idx.genome)),
-                              constant_values=15)
-                       for idx in indexes]).astype(np.int8)
-    meta = {
-        "spans": tuple(int(s.span) for s in indexes[0].seed_set.seeds),
-        "ones": tuple(tuple(int(o) for o in s.ones_idx)
-                      for s in indexes[0].seed_set.seeds),
-        "genome_len": gmax,
-    }
-    return offsets, positions, genome, meta
-
-
-def sharded_end_to_end_step(mesh: Mesh, params: SWParams = SWParams(),
-                            spans: tuple = (), ones: tuple = (),
-                            window_len: int = 70, genome_len: int = 1 << 20,
-                            cap: int = 8, n_out: int = 8, lookback: int = 8):
-    """The WHOLE funnel on the mesh: on-device candidate generation (L3,
-    `ops/candidates_tpu.py`) from each device's genome-index shard, pass-1
-    vector SW over the emitted windows, mergesam-algebra collectives, and
-    pass-2 full SW + fused traceback on the globally best window.
-
-    Reads are sharded over READS_AXIS and replicated over GENOME_AXIS; the
-    CSR index arrays and the genome plane are sharded over GENOME_AXIS.
-
-    Returns step(codes_fw[B,R], codes_rc[B,R], rlen[B],
-                 offsets(tuple of [S,...]), positions(tuple of [S,...]),
-                 genome[S,G]) -> (stats[B',10], best_goff[B'], z1[B'])
-    """
-    from jax import shard_map
-
-    from shrimp_tpu.ops import candidates_tpu as ct
-    from shrimp_tpu.ops.params import ScoreProbs
-    from shrimp_tpu.ops.sw_full import sw_full_and_traceback_jax
-
-    probs = ScoreProbs.from_scores(params, False)
-    a = jnp.float32(probs.alpha)
-    bta = jnp.float32(2.0 * probs.alpha + probs.beta)
-
-    def per_device(codes_fw, codes_rc, rlen, offsets, positions, genome):
-        genome = genome[0]                       # [G] local shard plane
-        offsets = tuple(o[0] for o in offsets)
-        positions = tuple(p[0] for p in positions)
-        B, R = codes_fw.shape
-
-        # ---- L3 on device: candidate windows per strand ----
-        outs = []
-        for codes in (codes_fw, codes_rc):
-            cw = ct.candidate_windows(
-                codes, rlen, offsets, positions, spans, ones,
-                cap=cap, n_out=n_out, lookback=lookback,
-                window_len=window_len, genome_len=genome_len,
-                match=params.match, b_gap_open=params.b_gap_open,
-                b_gap_extend=params.b_gap_extend)
-            outs.append(cw)
-        g_off = jnp.concatenate([o["g_off"] for o in outs], axis=1)
-        is_rc = jnp.concatenate(
-            [jnp.zeros((B, n_out), bool), jnp.ones((B, n_out), bool)],
-            axis=1)                                        # [B, 2*n_out]
-        windows = ct.gather_windows_device(genome, g_off, window_len,
-                                           pad_code=-1)    # [B, W, wlen]
-        W = g_off.shape[1]
-
-        # ---- pass 1: vector SW over all windows ----
-        reads2 = jnp.where(is_rc[:, :, None], codes_rc[:, None, :],
-                           codes_fw[:, None, :])
-        scores = sw_score_batch(
-            windows.reshape(B * W, window_len),
-            jnp.broadcast_to(reads2, (B, W, R)).reshape(B * W, R),
-            params).reshape(B, W)
-        scores = jnp.where(g_off >= 0, scores, -1)
-
-        # ---- mergesam algebra across genome shards ----
-        post = jnp.where(scores >= 0,
-                         jnp.exp2((scores.astype(jnp.float32) - R * bta) / a),
-                         0.0)
-        z1 = jax.lax.psum(jnp.sum(post, axis=1), GENOME_AXIS)
-
-        best_local = jnp.argmax(scores, axis=1)
-        best_local_score = jnp.max(scores, axis=1)
-        gathered = jax.lax.all_gather(best_local_score[:, None],
-                                      GENOME_AXIS, axis=1,
-                                      tiled=True)          # [B, S]
-        owner = jnp.argmax(gathered, axis=1)
-        mine = owner == jax.lax.axis_index(GENOME_AXIS)
-
-        # ---- pass 2 on the owning shard ----
-        win = windows[jnp.arange(B), best_local]            # [B, wlen]
-        rd = jnp.where(
-            jnp.take_along_axis(is_rc, best_local[:, None], axis=1),
-            codes_rc, codes_fw)
-        win = jnp.where(mine[:, None], win, -1)
-        stats, _ops = sw_full_and_traceback_jax(
-            win, rd, jnp.zeros(B, bool), params, local_alignment=False)
-        stats = jax.lax.psum(jnp.where(mine[:, None], stats, 0),
-                             GENOME_AXIS)
-        goff_best = jnp.take_along_axis(g_off, best_local[:, None],
-                                        axis=1)[:, 0]
-        goff_best = jax.lax.psum(jnp.where(mine, goff_best, 0), GENOME_AXIS)
-        return stats, goff_best, z1
-
-    fn = shard_map(
-        per_device, mesh=mesh,
-        in_specs=(P(READS_AXIS, None), P(READS_AXIS, None), P(READS_AXIS),
-                  (P(GENOME_AXIS, None),) * len(spans),
-                  (P(GENOME_AXIS, None),) * len(spans),
-                  P(GENOME_AXIS, None)),
-        out_specs=(P(READS_AXIS, None), P(READS_AXIS), P(READS_AXIS)),
-        check_vma=False,
-    )
-    return jax.jit(fn)
-
-
 def sharded_pass1_step(mesh: Mesh, params: SWParams = SWParams(), k: int = 10):
     """Build the jitted multi-chip pass-1 step.
 

@@ -122,6 +122,7 @@ def print_statistics(out, tel: Telemetry, *,
                      nreads: int,
                      num_threads: int = 1,
                      dflag: bool = False,
+                     engine_info: dict | None = None,
                      pair_mode_none: bool = True,
                      half_paired: bool = True,
                      # unpaired counters
@@ -185,6 +186,21 @@ def print_statistics(out, tel: Telemetry, *,
             f"{comma_integer(fwbw.invocs):>15} {fwbw.secs:9.2f} "
             f"{st['wait']:9.2f}")
         out("")
+        if engine_info:
+            # TPU-specific diagnostics: the per-run auto-tune verdicts and
+            # fallback counters, so perf regressions are visible from -D
+            out(f"{t}TPU Engine Choices:")
+            _line24(out, "Pass1 engine:",
+                    str(engine_info.get("pass1_engine") or "untuned"))
+            _line24(out, "Pass1 gather path:",
+                    str(engine_info.get("pass1_path") or "untuned"))
+            _line24(out, "L3 path:",
+                    str(engine_info.get("l3_choice") or
+                        ("device" if engine_info.get("device_candidates")
+                         is True else "host")))
+            _line24(out, "Device-L3 fallbacks:",
+                    str(engine_info.get("device_l3_fallbacks", 0)))
+            out("")
 
     out(f"{t}Spaced Seed Scan:")
     _line24(out, "Run-time:", f"{scan_secs:.2f} seconds")

@@ -74,7 +74,16 @@ def test_statistics_block_parity():
 
     def stats_lines(text):
         out = []
+        skip_tpu = 0
         for ln in mask(text, "Statistics:"):
+            if ln.lstrip().startswith("TPU Engine Choices:"):
+                # our -D adds a TPU-specific diagnostics block (auto-tune
+                # verdicts + fallback counters) the reference cannot have
+                skip_tpu = 5
+                continue
+            if skip_tpu:
+                skip_tpu -= 1
+                continue
             if ln.startswith(("thrd:", "crt_mem:", "mem_")):
                 continue
             if TIMING.search(ln) or ln.lstrip().startswith("Thread"):
