@@ -292,6 +292,325 @@ def sw_full_batch(genome: jax.Array, read: jax.Array, revcmpl: jax.Array,
     return best, best_i, best_j, best_states, bits
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("params", "local_alignment", "W"))
+def sw_full_batch_packed(genome: jax.Array, read: jax.Array,
+                        revcmpl: jax.Array, band_xmin: jax.Array,
+                        band_xmax: jax.Array,
+                        params: SWParams = SWParams(),
+                        local_alignment: bool = True,
+                        W: int = 32):
+    """Band-packed form of `sw_full_batch` — bit-identical results.
+
+    The banded DP ("necks", sw-full-ls.c:175-234, README:1415-1422) only
+    has live cells at columns j in [band_xmin[i], band_xmax[i]] per read
+    row; this kernel stores row i in packed coordinates u = j -
+    band_xmin[i] with static width W >= max band width, scanning READ
+    ROWS (R steps over [B, W] planes) instead of anti-diagonals (G+R-1
+    steps over [B, R]) — ~(G*R)/(R*W) fewer cells and a (R, B, W) bits
+    plane the traceback gathers from.
+
+    The within-row W-state recurrence W[j] = max(NW[j-1]-aoe, W[j-1]-ae)
+    collapses into one tilted cummax over the floored NW row (exact for
+    affine costs; the local-mode zero floor cannot change which candidate
+    wins a cell whose value survives the floor, and floored cells zero
+    their pointer in both formulations).  Per-cell pointers are then
+    recomputed elementwise from the exact predecessor values, preserving
+    the forward/revcmpl tie preferences.
+
+    Returns (score[B], best_i[B], best_j[B], states[B,3],
+    bits[R, B, W]) with bits[i, b, j - band_xmin[i]] for cell (i, j).
+    """
+    genome = genome.astype(jnp.int32)
+    read = read.astype(jnp.int32)
+    B, G = genome.shape
+    _, R = read.shape
+    rc = revcmpl.astype(bool)[:, None]
+    loc = bool(local_alignment)
+
+    m = jnp.int32(params.match)
+    x = jnp.int32(params.mismatch)
+    aoe = jnp.int32(-(params.a_gap_open + params.a_gap_extend))
+    ae = jnp.int32(-params.a_gap_extend)
+    boe = jnp.int32(-(params.b_gap_open + params.b_gap_extend))
+    be = jnp.int32(-params.b_gap_extend)
+    a_go = jnp.int32(params.a_gap_open)
+    b_go = jnp.int32(params.b_gap_open)
+
+    rlen = jnp.sum(read >= 0, axis=1)
+    glen = jnp.sum(genome >= 0, axis=1)
+    fill_s = jnp.int32(0) if loc else jnp.int32(NEG_INF)
+    # border triple for virtual row -1 / out-of-band cells
+    bor_nw = jnp.int32(0) if loc else jnp.int32(NEG_INF)
+    bor_n = b_go if loc else jnp.int32(NEG_INF)
+    bor_w = a_go if loc else jnp.int32(NEG_INF)
+    # virtual row -1 always carries the local-style init regardless of
+    # mode (the at_i0 branch of the full kernel)
+    r1_nw, r1_n, r1_w = jnp.int32(0), b_go, a_go
+
+    uu = jnp.arange(W, dtype=jnp.int32)[None, :]           # [1, W]
+    genome_p = jnp.pad(genome, ((0, 0), (0, W + 1)),
+                       constant_values=GENOME_PAD)
+    tilt = ae * jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+
+    def gather_prev(prev, idx, border):
+        """prev [B, W] at per-lane indices idx [B, W]; out-of-range ->
+        border scalar."""
+        padded = jnp.concatenate(
+            [jnp.full((B, 1), border, prev.dtype), prev,
+             jnp.full((B, 1), border, prev.dtype)], axis=1)
+        return jnp.take_along_axis(padded,
+                                   jnp.clip(idx, -1, W) + 1, axis=1)
+
+    def step(carry, xs):
+        (nw_p, n_p, w_p, xmin_p, best, best_i, best_j, best_states,
+         i) = carry
+        xmin_c, xmax_c, rchar = xs                 # [B], [B], [B]
+        at_i0 = i == 0
+        d = jnp.where(at_i0, 0, xmin_c - xmin_p)[:, None]   # [B, 1]
+
+        # predecessor rows in current-packed coordinates
+        p_n_nw = gather_prev(nw_p, uu + d, bor_nw)
+        p_n_n = gather_prev(n_p, uu + d, bor_n)
+        p_d_nw = gather_prev(nw_p, uu + d - 1, bor_nw)
+        p_d_n = gather_prev(n_p, uu + d - 1, bor_n)
+        p_d_w = gather_prev(w_p, uu + d - 1, bor_w)
+        # virtual row -1 overrides every border (at_i0 precedence in the
+        # full kernel)
+        p_n_nw = jnp.where(at_i0, r1_nw, p_n_nw)
+        p_n_n = jnp.where(at_i0, r1_n, p_n_n)
+        p_d_nw = jnp.where(at_i0, r1_nw, p_d_nw)
+        p_d_n = jnp.where(at_i0, r1_n, p_d_n)
+        p_d_w = jnp.where(at_i0, r1_w, p_d_w)
+
+        jj = xmin_c[:, None] + uu                  # real genome columns
+        gchar = jnp.take_along_axis(genome_p, jj, axis=1)
+        ms = jnp.where(gchar == rchar[:, None], m, x)
+
+        # --- NW state (diag preds only) ---
+        fs, fp = _pick((p_d_nw + ms, jnp.uint8(NW_FROM_NW)),
+                       (p_d_n + ms, jnp.uint8(NW_FROM_N)),
+                       (p_d_w + ms, jnp.uint8(NW_FROM_W)))
+        rs, rp = _pick((p_d_w + ms, jnp.uint8(NW_FROM_W)),
+                       (p_d_n + ms, jnp.uint8(NW_FROM_N)),
+                       (p_d_nw + ms, jnp.uint8(NW_FROM_NW)))
+        s_nw = jnp.where(rc, rs, fs)
+        p_nw = jnp.where(rc, rp, fp)
+        if loc:
+            z = s_nw <= 0
+            s_nw = jnp.where(z, 0, s_nw)
+            p_nw = jnp.where(z, 0, p_nw)
+
+        # --- N state (north preds only) ---
+        fs, fp = _pick((p_n_nw - boe, jnp.uint8(N_FROM_NW)),
+                       (p_n_n - be, jnp.uint8(N_FROM_N)))
+        rs, rp = _pick((p_n_n - be, jnp.uint8(N_FROM_N)),
+                       (p_n_nw - boe, jnp.uint8(N_FROM_NW)))
+        s_n = jnp.where(rc, rs, fs)
+        p_n = jnp.where(rc, rp, fp)
+        if loc:
+            z = s_n <= 0
+            s_n = jnp.where(z, 0, s_n)
+            p_n = jnp.where(z, 0, p_n)
+
+        # --- W state: tilted cummax over [border_nw; floored NW row],
+        # then max with the pure border-W extension chain ---
+        cand = jnp.concatenate(
+            [jnp.full((B, 1), bor_nw, jnp.int32), s_nw], axis=1)  # [B,W+1]
+        run = jax.lax.cummax(cand + tilt, axis=1)
+        # candidate via NW[k]: NW[k] - aoe - ae*(u-1-k); with cand index
+        # c = k+1 (c=0 the j-1<0 border NW) that is
+        # (cand[c] + ae*c) - aoe - ae*u, so W_chain[u] = run[u] - aoe
+        # - ae*u
+        chain = run[:, :-1] - aoe - ae * uu
+        w_border = bor_w - ae * (uu + 1)           # extend border W only
+        s_w = jnp.maximum(chain, w_border)
+        # pointer: exact per-cell comparison of (NW[j-1]-aoe, W[j-1]-ae)
+        w_floored = jnp.maximum(s_w, 0) if loc else s_w
+        nw_west = jnp.concatenate(
+            [jnp.full((B, 1), bor_nw, jnp.int32), s_nw[:, :-1]], axis=1)
+        w_west = jnp.concatenate(
+            [jnp.full((B, 1), bor_w, jnp.int32), w_floored[:, :-1]],
+            axis=1)
+        c_nw = nw_west - aoe
+        c_w = w_west - ae
+        p_w_f = jnp.where(c_nw >= c_w, jnp.uint8(W_FROM_NW),
+                          jnp.uint8(W_FROM_W))
+        p_w_r = jnp.where(c_w >= c_nw, jnp.uint8(W_FROM_W),
+                          jnp.uint8(W_FROM_NW))
+        p_w = jnp.where(rc, p_w_r, p_w_f)
+        if loc:
+            z = s_w <= 0
+            s_w = jnp.where(z, 0, s_w)
+            p_w = jnp.where(z, 0, p_w)
+
+        # --- band-width masking within the row, then grid validity ---
+        in_band = uu <= (xmax_c - xmin_c)[:, None]
+        s_nw = jnp.where(in_band, s_nw, bor_nw)
+        s_n = jnp.where(in_band, s_n, bor_n)
+        s_w = jnp.where(in_band, s_w, bor_w)
+        p_nw = jnp.where(in_band, p_nw, 0).astype(jnp.uint8)
+        p_n = jnp.where(in_band, p_n, 0).astype(jnp.uint8)
+        p_w = jnp.where(in_band, p_w, 0).astype(jnp.uint8)
+        valid = (jj < glen[:, None]) & (i < rlen[:, None])
+        s_nw = jnp.where(valid, s_nw, fill_s)
+        s_n = jnp.where(valid, s_n, fill_s)
+        s_w = jnp.where(valid, s_w, fill_s)
+        p_nw = jnp.where(valid, p_nw, 0).astype(jnp.uint8)
+        p_n = jnp.where(valid, p_n, 0).astype(jnp.uint8)
+        p_w = jnp.where(valid, p_w, 0).astype(jnp.uint8)
+
+        # --- best tracking: rows in order == row-major first-strict-max
+        # (within a row argmax takes the lowest packed u = lowest j) ---
+        cell = jnp.maximum(jnp.maximum(s_nw, s_n), s_w)
+        eligible = valid if loc else (valid & (i == rlen[:, None] - 1))
+        cell = jnp.where(eligible, cell, NEG_INF)
+        row_best = jnp.max(cell, axis=1)
+        slot = jnp.argmax(cell, axis=1).astype(jnp.int32)
+        improved = row_best > best
+        best = jnp.where(improved, row_best, best)
+        best_i = jnp.where(improved, i, best_i)
+        best_j = jnp.where(improved, xmin_c + slot, best_j)
+        take = jnp.take_along_axis
+        sl = slot[:, None]
+        cand_states = jnp.concatenate(
+            [take(s_nw, sl, 1), take(s_n, sl, 1), take(s_w, sl, 1)],
+            axis=1)
+        best_states = jnp.where(improved[:, None], cand_states,
+                                best_states)
+
+        bits = (p_nw | (p_n << 2) | (p_w << 4)).astype(jnp.uint8)
+        return (s_nw, s_n, s_w, xmin_c, best, best_i, best_j,
+                best_states, i + 1), bits
+
+    plane = lambda fill: jnp.full((B, W), fill, jnp.int32)
+    carry0 = (plane(NEG_INF), plane(NEG_INF), plane(NEG_INF),
+              jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+              jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+              jnp.zeros((B, 3), jnp.int32), jnp.int32(0))
+    xs = (band_xmin.astype(jnp.int32).T, band_xmax.astype(jnp.int32).T,
+          read.T)
+    carry, bits = jax.lax.scan(step, carry0, xs)
+    (_, _, _, _, best, best_i, best_j, best_states, _) = carry
+    if not loc:
+        best = jnp.maximum(best, 0)
+    return best, best_i, best_j, best_states, bits
+
+
+@jax.jit
+def traceback_batch_packed_jax(bits: jax.Array, band_xmin: jax.Array,
+                               bi: jax.Array, bj: jax.Array,
+                               states: jax.Array, genome: jax.Array,
+                               read: jax.Array, score: jax.Array):
+    """On-device traceback over the packed (R, B, W) bits plane; cell
+    (i, j) lives at bits[i, b, j - band_xmin[b, i]].  Same walk as
+    `traceback_batch_jax` (same outputs), ~4x smaller gather source."""
+    R_, B, W = bits.shape
+    G = genome.shape[1]
+    max_steps = R_ + G
+    lanes = jnp.arange(B)
+    xmin = band_xmin.astype(jnp.int32)
+
+    s_nw, s_n, s_w = states[:, 0], states[:, 1], states[:, 2]
+    state = jnp.full(B, STATE_NW, jnp.int32)
+    best = s_nw
+    take = s_w > best
+    state = jnp.where(take, STATE_W, state)
+    best = jnp.where(take, s_w, best)
+    state = jnp.where(s_n > best, STATE_N, state)
+
+    genome32 = genome.astype(jnp.int32)
+    read32 = read.astype(jnp.int32)
+
+    def step(carry, _):
+        (i, j, st, active, rs, gs, mt, mm, ins, dl, nops) = carry
+        ii = jnp.clip(i, 0, R_ - 1).astype(jnp.int32)
+        jj = jnp.clip(j, 0, G - 1).astype(jnp.int32)
+        # a predecessor step can point at an out-of-band cell; those
+        # cells carry pointer 0 in the full-grid plane (walk stops) —
+        # replicate by forcing cell 0 outside the packed band
+        u_raw = jj - xmin[lanes, ii]
+        inb = (u_raw >= 0) & (u_raw < W)
+        cell = jnp.where(
+            inb, bits[ii, lanes, jnp.clip(u_raw, 0, W - 1)],
+            jnp.uint8(0)).astype(jnp.int32)
+        ptr = jnp.where(st == STATE_NW, cell & 3,
+                        jnp.where(st == STATE_N, (cell >> 2) & 3,
+                                  (cell >> 4) & 3))
+        step_active = active & (ptr != 0)
+        is_nw = step_active & (st == STATE_NW)
+        is_n = step_active & (st == STATE_N)
+        is_w = step_active & (st == STATE_W)
+
+        op = jnp.where(is_n, OP_DEL, jnp.where(is_w, OP_INS, OP_MATCH)
+                       ).astype(jnp.uint8)
+        nops = nops + step_active
+
+        eq = genome32[lanes, jj] == read32[lanes, jnp.minimum(ii, R_ - 1)]
+        mt = mt + (is_nw & eq)
+        mm = mm + (is_nw & ~eq)
+        dl = dl + is_n
+        ins = ins + is_w
+        rs = jnp.where(is_nw | is_n, i, rs)
+        gs = jnp.where(is_nw | is_w, j, gs)
+        i = i - (is_nw | is_n)
+        j = j - (is_nw | is_w)
+
+        nxt = jnp.where(
+            is_nw,
+            jnp.where(ptr == NW_FROM_NW, STATE_NW,
+                      jnp.where(ptr == NW_FROM_N, STATE_N, STATE_W)),
+            jnp.where(is_n,
+                      jnp.where(ptr == N_FROM_N, STATE_N, STATE_NW),
+                      jnp.where(ptr == W_FROM_W, STATE_W, STATE_NW)))
+        st = jnp.where(step_active, nxt, st)
+        active = step_active & (i >= 0) & (j >= 0)
+        return (i, j, st, active, rs, gs, mt, mm, ins, dl, nops), op
+
+    zeros = jnp.zeros(B, jnp.int32)
+    carry0 = (bi.astype(jnp.int32), bj.astype(jnp.int32), state, score > 0,
+              zeros, zeros, zeros, zeros, zeros, zeros, zeros)
+    (i, j, st, active, rs, gs, mt, mm, ins, dl,
+     nops), ops_steps = jax.lax.scan(step, carry0, None, length=max_steps)
+    ops = ops_steps.T
+
+    k = jnp.arange(max_steps)[None, :]
+    src = jnp.clip(nops[:, None] - 1 - k, 0, max_steps - 1)
+    ops_rev = jnp.take_along_axis(ops, src, axis=1)
+    ops_rev = jnp.where(k < nops[:, None], ops_rev, 0).astype(jnp.uint8)
+
+    return {
+        "read_start": rs, "genome_start": gs,
+        "matches": mt, "mismatches": mm,
+        "insertions": ins, "deletions": dl,
+        "rmapped": mt + mm + dl, "gmapped": mt + mm + ins,
+        "ops": ops_rev, "ops_len": nops,
+    }
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "local_alignment", "W"))
+def sw_full_and_traceback_packed_jax(genome: jax.Array, read: jax.Array,
+                                     revcmpl: jax.Array,
+                                     band_xmin: jax.Array,
+                                     band_xmax: jax.Array,
+                                     params: SWParams = SWParams(),
+                                     local_alignment: bool = False,
+                                     W: int = 32):
+    """Band-packed DP + traceback in one dispatch; same (stats, ops)
+    contract as `sw_full_and_traceback_jax`, bit-identical outputs."""
+    score, bi, bj, states, bits = sw_full_batch_packed(
+        genome, read, revcmpl, band_xmin, band_xmax, params,
+        local_alignment, W)
+    tb = traceback_batch_packed_jax(bits, band_xmin, bi, bj, states,
+                                    genome, read, score)
+    stats = jnp.stack([
+        score, tb["read_start"], tb["genome_start"], tb["matches"],
+        tb["mismatches"], tb["insertions"], tb["deletions"], tb["rmapped"],
+        tb["gmapped"], tb["ops_len"]], axis=1).astype(jnp.int32)
+    return stats, tb["ops"]
+
+
 # ---------------------------------------------------------------------------
 # Host-side traceback
 # ---------------------------------------------------------------------------

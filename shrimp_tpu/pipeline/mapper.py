@@ -1224,10 +1224,20 @@ class Mapper:
                 band_xmin=band_xmin, band_xmax=band_xmax)
         else:
             qr4 = None
-            stats_d, ops_d = sw_full.sw_full_and_traceback_jax(
-                gb, rb, rev, cfg.params,
-                local_alignment=not cfg.global_alignment,
-                band_xmin=band_xmin, band_xmax=band_xmax)
+            Wp = (_round_up(int((band_xmax - band_xmin).max()) + 1, 16)
+                  if band_xmin is not None else None)
+            if Wp is not None and Wp < G:
+                # band-packed DP: R-step scan over [B, W] planes instead
+                # of (G+R-1) diagonals over [B, R], and a (R, B, W) bits
+                # plane for the traceback (sw-full-ls.c "necks")
+                stats_d, ops_d = sw_full.sw_full_and_traceback_packed_jax(
+                    gb, rb, rev, band_xmin, band_xmax, cfg.params,
+                    local_alignment=not cfg.global_alignment, W=Wp)
+            else:
+                stats_d, ops_d = sw_full.sw_full_and_traceback_jax(
+                    gb, rb, rev, cfg.params,
+                    local_alignment=not cfg.global_alignment,
+                    band_xmin=band_xmin, band_xmax=band_xmax)
         if _f2_cells is None:
             _f2_cells = w_len * rlen
         if not cfg.colour_space:

@@ -793,10 +793,18 @@ class PairedMapper(Mapper):
             stats = np.asarray(stats_d)[:N]
             crossovers = stats[:, 10]
         else:
-            stats_d, ops_d = sw_full.sw_full_and_traceback_jax(
-                gb, rb, rev, cfg.params,
-                local_alignment=not cfg.global_alignment,
-                band_xmin=band_xmin, band_xmax=band_xmax)
+            Wp = (_round_up(int((band_xmax - band_xmin).max()) + 1, 16)
+                  if band_xmin is not None else None)
+            if Wp is not None and Wp < G:
+                # band-packed DP (see mapper._pass2_dispatch)
+                stats_d, ops_d = sw_full.sw_full_and_traceback_packed_jax(
+                    gb, rb, rev, band_xmin, band_xmax, cfg.params,
+                    local_alignment=not cfg.global_alignment, W=Wp)
+            else:
+                stats_d, ops_d = sw_full.sw_full_and_traceback_jax(
+                    gb, rb, rev, cfg.params,
+                    local_alignment=not cfg.global_alignment,
+                    band_xmin=band_xmin, band_xmax=band_xmax)
             stats = np.asarray(stats_d)[:N]
         ops_all = np.asarray(ops_d)[:N]
         gb_np = np.asarray(gb)
