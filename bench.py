@@ -164,14 +164,27 @@ def main():
 
     best = None
     for rep in range(2):
+        f1_invocs_before = mapper.tel.f1.invocs
         secs, n_done, n_matched, n_correct = run_once()
         best = secs if best is None else min(best, secs)
+    f1_invocs_run = int(mapper.tel.f1.invocs - f1_invocs_before)
 
     rps = n_done / best
     recall = n_correct / n_done
     precision = n_correct / max(n_matched, 1)
     tel = mapper.tel
     baseline_rps = 44.0                     # reference reads/s/core
+
+    # same-host -O3 reference anchor, if recorded
+    # (benchmarks/run_reference_samehost.py — VERDICT r2 #2)
+    samehost = None
+    sh_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "reference_samehost.json")
+    if os.path.exists(sh_path):
+        with open(sh_path) as f:
+            rec = json.load(f)
+        if rec.get("genome_bp") == GENOME_BP and rec.get("reads_per_sec"):
+            samehost = rec
     print(json.dumps({
         "metric": ("unpaired_reads_per_sec_per_chip_1Gbp"
                    if GENOME_BP == 10**9 else
@@ -179,7 +192,23 @@ def main():
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / baseline_rps, 2),
+        "vs_samehost": (round(rps / samehost["reads_per_sec"], 2)
+                        if samehost else None),
         "detail": {
+            "stage_secs": {k: round(v.secs, 2)
+                           for k, v in tel.stages.items() if v.secs > 0.005},
+            "pass1_engine": getattr(mapper, "_pass1_engine", None),
+            "pass1_path": getattr(mapper, "_pass1_path", None),
+            "l3_choice": getattr(mapper, "_l3_choice", None),
+            "f1_invocs": f1_invocs_run,
+            "windows_per_read": round(f1_invocs_run / max(n_done, 1), 1),
+            "samehost_ref": (None if samehost is None else {
+                "reads_per_sec": samehost["reads_per_sec"],
+                "cpu": samehost["cpu"],
+                "recall_top_hit": samehost["recall_top_hit"],
+                "precision_top_hit": samehost["precision_top_hit"],
+                "windows_per_read": samehost["windows_per_read"],
+            }),
             "genome_bp": GENOME_BP,
             "n_reads": n_done,
             "map_secs": round(best, 2),
