@@ -24,6 +24,12 @@ import time
 
 import numpy as np
 
+_T_START = time.monotonic()
+# wall budget for the whole process (driver-run bench is under a timeout;
+# round 3's run died building the index cache cold).  Everything after
+# the headline JSON line — cache save, second rep — yields to this.
+BUDGET = float(os.environ.get("SHRIMP_BENCH_BUDGET", "600"))
+
 # default 1 Gbp; SHRIMP_BENCH_GBP=3.1 runs the full hg18-scale condition
 # (the reference's 3.1 Gbp / 48GB-RAM operating point, README:135-150)
 GENOME_BP = int(float(os.environ.get("SHRIMP_BENCH_GBP", "1")) * 1e9)
@@ -84,7 +90,6 @@ def build_or_load_index():
     max_w = max(s.weight for s in idx.seed_set.seeds)
     cutoff = max(1000, (100 * idx.total_len) // (4 ** max_w))
     idx.trim(cutoff)
-    idx.save_mmap(CACHE)
     sys.stderr.write(f"bench: genome gen {gen_secs:.0f}s, index build "
                      f"{build_secs:.0f}s ({GENOME_BP / 1e6 / build_secs:.1f} "
                      f"Mbp/s single-core), cutoff {cutoff}\n")
@@ -167,6 +172,9 @@ def main():
         f1_invocs_before = mapper.tel.f1.invocs
         secs, n_done, n_matched, n_correct = run_once()
         best = secs if best is None else min(best, secs)
+        # only take the second (cache-warm) rep if it fits the budget
+        if time.monotonic() - _T_START + secs * 1.2 > BUDGET:
+            break
     f1_invocs_run = int(mapper.tel.f1.invocs - f1_invocs_before)
 
     rps = n_done / best
@@ -221,7 +229,14 @@ def main():
             "vector_sw_cells_per_sec": round(tel.f1.cells_per_sec),
             "scalar_sw_cells_per_sec": round(tel.f2.cells_per_sec),
         },
-    }))
+    }), flush=True)
+
+    # persist the index cache only after the headline line is out (a
+    # 13 GB write; a driver timeout mid-save must not eat the result —
+    # load_mmap keys on .mmap.json, written last, so partials are inert)
+    if not cached:
+        idx.save_mmap(CACHE)
+        sys.stderr.write("bench: index cache saved\n")
 
 
 if __name__ == "__main__":

@@ -129,9 +129,29 @@ class GenomeIndex:
     def trim(self, cutoff: int) -> None:
         """Drop posting lists longer than cutoff (trim_genome,
         genome.c:1188-1207)."""
+        from shrimp_tpu import native as native_mod
+        nlib = native_mod.load_index()
+        use_native = nlib is not None and hasattr(nlib, "index_trim")
         for sn in range(len(self.offsets)):
             lens = np.diff(self.offsets[sn])
             keep = lens <= cutoff
+            if use_native:
+                import ctypes
+                new_total = int(lens[keep].sum())
+                off = np.ascontiguousarray(self.offsets[sn],
+                                           dtype=np.int64).copy()
+                pos = self.positions[sn]
+                pos_out = np.empty(new_total, np.uint32)
+                w = nlib.index_trim(
+                    off.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                    len(lens),
+                    pos.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                    pos_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                    cutoff)
+                assert w == new_total
+                self.positions[sn] = pos_out
+                self.offsets[sn] = off
+                continue
             new_lens = np.where(keep, lens, 0)
             new_off = np.zeros_like(self.offsets[sn])
             np.cumsum(new_lens, out=new_off[1:])
@@ -347,16 +367,33 @@ def build_index(contigs: list[fastx.Contig], seed_set: SeedSet | None = None,
                               p(ones, ctypes.c_int32), len(ones),
                               p(vmask, ctypes.c_uint8),
                               p(keys, ctypes.c_uint32))
+            # partitioned counting sort (index_partition_sort): the flat
+            # count+place passes do ~2 random DRAM hits per window —
+            # minutes at Gbp scale; the partitioned form streams instead
             counts = np.zeros(nb, np.int64)
-            nlib.index_count(p(keys, ctypes.c_uint32), n_win,
-                             p(counts, ctypes.c_longlong))
-            off = np.zeros(nb + 1, dtype=np.int64)
-            np.cumsum(counts, out=off[1:])
-            cursor = np.ascontiguousarray(off[:-1].copy())
-            positions = np.empty(int(off[-1]), np.uint32)
-            nlib.index_place(p(keys, ctypes.c_uint32), n_win,
-                             p(cursor, ctypes.c_longlong),
-                             p(positions, ctypes.c_uint32))
+            n_valid = int(vmask.sum())
+            positions = np.empty(n_valid, np.uint32)
+            m = -1
+            if hasattr(nlib, "index_partition_sort"):
+                m = nlib.index_partition_sort(
+                    p(keys, ctypes.c_uint32), n_win, nb,
+                    p(counts, ctypes.c_longlong),
+                    None,       # pair scratch is malloc'd natively
+                    p(positions, ctypes.c_uint32))
+            if m != n_valid:        # OOM or stale .so: flat fallback
+                counts[:] = 0
+                nlib.index_count(p(keys, ctypes.c_uint32), n_win,
+                                 p(counts, ctypes.c_longlong))
+                off = np.zeros(nb + 1, dtype=np.int64)
+                np.cumsum(counts, out=off[1:])
+                cursor = np.ascontiguousarray(off[:-1].copy())
+                positions = np.empty(int(off[-1]), np.uint32)
+                nlib.index_place(p(keys, ctypes.c_uint32), n_win,
+                                 p(cursor, ctypes.c_longlong),
+                                 p(positions, ctypes.c_uint32))
+            else:
+                off = np.zeros(nb + 1, dtype=np.int64)
+                np.cumsum(counts, out=off[1:])
             positions_per_seed.append(positions)
             offsets_per_seed.append(off)
             continue

@@ -85,9 +85,11 @@ def load_index() -> ctypes.CDLL | None:
         return _IDX_LIB
     _IDX_TRIED = True
     src = os.path.join(_HERE, "index_native.c")
-    so = _compile(src, os.path.join(_HERE, "_index_native.so"),
-                  extra=("-fopenmp",)) or \
-        _compile(src, os.path.join(_HERE, "_index_native.so"))
+    so_path = os.path.join(_HERE, "_index_native.so")
+    # -march=native vectorizes the blocked mapidx accumulation (AVX2)
+    so = _compile(src, so_path, extra=("-fopenmp", "-march=native")) or \
+        _compile(src, so_path, extra=("-fopenmp",)) or \
+        _compile(src, so_path)
     if so is None:
         return None
     try:
@@ -109,6 +111,15 @@ def load_index() -> ctypes.CDLL | None:
                                 ctypes.c_int32, u8p]
     lib.index_count.restype = None
     lib.index_count.argtypes = [u32p, c_ll, llp]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    try:                            # absent only in a stale prebuilt .so
+        lib.index_partition_sort.restype = c_ll
+        lib.index_partition_sort.argtypes = [u32p, c_ll, c_ll, llp, u64p,
+                                             u32p]
+        lib.index_trim.restype = c_ll
+        lib.index_trim.argtypes = [llp, c_ll, u32p, u32p, c_ll]
+    except AttributeError:
+        pass
     lib.index_place.restype = None
     lib.index_place.argtypes = [u32p, c_ll, llp, u32p]
     _IDX_LIB = lib
