@@ -131,10 +131,39 @@ def make_reads(idx, rng, n_reads):
 
 
 def main():
+    """Wrapper: the devserver TPU tunnel can drop mid-run
+    (FailedPrecondition on a transfer); a fresh process re-claims the
+    chip cleanly, so on a fatal device error we save the index cache (if
+    freshly built) and re-exec, bounded by attempts and the wall budget."""
+    attempt = int(os.environ.get("_SHRIMP_BENCH_ATTEMPT", "0"))
+    try:
+        _main()
+    except Exception:
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        if attempt < 2 and time.monotonic() - _T_START < BUDGET * 0.6:
+            if _RESCUE.get("idx") is not None:
+                sys.stderr.write("bench: saving index cache before retry\n")
+                _RESCUE["idx"].save_mmap(CACHE)
+            os.environ["_SHRIMP_BENCH_ATTEMPT"] = str(attempt + 1)
+            sys.stderr.write(f"bench: retry {attempt + 1} (re-exec)\n")
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.execv(sys.executable,
+                     [sys.executable, os.path.abspath(__file__)])
+        raise
+
+
+_RESCUE: dict = {}
+
+
+def _main():
     from shrimp_tpu.pipeline.mapper import Mapper
     from shrimp_tpu.pipeline.options import MapperConfig
 
     idx, index_secs, cached = build_or_load_index()
+    if not cached:
+        _RESCUE["idx"] = idx
     mapper = Mapper(idx, MapperConfig(qual_delta=64))
 
     rng = np.random.default_rng(7)
@@ -208,6 +237,7 @@ def main():
             "pass1_engine": getattr(mapper, "_pass1_engine", None),
             "pass1_path": getattr(mapper, "_pass1_path", None),
             "l3_choice": getattr(mapper, "_l3_choice", None),
+            "l3_reason": getattr(mapper, "_l3_reason", None),
             "f1_invocs": f1_invocs_run,
             "windows_per_read": round(f1_invocs_run / max(n_done, 1), 1),
             "samehost_ref": (None if samehost is None else {

@@ -1374,6 +1374,7 @@ def main(argv: list[str] | None = None) -> int:
             "pass1_engine": getattr(mapper, "_pass1_engine", None),
             "pass1_path": getattr(mapper, "_pass1_path", None),
             "l3_choice": getattr(mapper, "_l3_choice", None),
+            "l3_reason": getattr(mapper, "_l3_reason", None),
             "device_candidates": cfg.device_candidates,
             "device_l3_fallbacks": ms.get("device_l3_fallbacks", 0),
         },

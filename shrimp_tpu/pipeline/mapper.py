@@ -66,6 +66,9 @@ def _p1_gather_score_ls(plane_pad, lo, wlen, rid, st, reads2, G, params,
     return sw_vector.sw_score_engine(win, rb, params, engine=engine)
 
 
+# measured host->HBM probe bandwidth (bytes/s), shared per process
+_SHIP_BW: float | None = None
+
 # pass-1 work is cut into fixed-size chunks: stable compile shapes, no
 # power-of-two padding blow-up on million-window batches, and the host
 # gather of chunk k+1 overlaps the (async-dispatched) device DP of chunk k
@@ -209,6 +212,7 @@ class Mapper:
         self._dev_l3_a_cap = self.DEVICE_L3_A_CAP
         self._dev_l3_a2_cap = self.DEVICE_L3_A2_CAP
         self._l3_choice = None          # auto-tune result ("device"/"host")
+        self._l3_reason = None          # why, when decided without timing
         self._pass1_engine = None       # auto-tune result (PASS1_ENGINES)
         self._pass1_path = None         # auto-tune result ("device"/"host")
         # the pipelined streams run two batches on worker threads; counter
@@ -737,8 +741,35 @@ class Mapper:
             return False
         # no region-table size gate: past DENSE_REGION_TABLE_MAX entries
         # the kernel switches to the sparse sort formulation, so Gbp
-        # genomes stay eligible (VERDICT r2 #3)
+        # genomes stay eligible (VERDICT r2 #3) — but the one-time CSR
+        # ship to HBM must fit the transfer budget (device_l3 is decided
+        # per run; shipping a 12 GB Gbp index through a ~90 MB/s tunnel
+        # would stall the first batch for minutes)
+        if self.cfg.device_candidates != True:  # noqa: E712  ("auto")
+            ship_bytes = 4 * sum(
+                len(self.index.positions[sn]) + len(self.index.offsets[sn])
+                for sn in range(len(self.index.offsets)))
+            est = ship_bytes / self._ship_bandwidth()
+            if est > self.cfg.device_l3_ship_budget_secs:
+                self._l3_choice = "host"
+                self._l3_reason = (f"index ship ~{est:.0f}s exceeds "
+                                   f"{self.cfg.device_l3_ship_budget_secs:g}s"
+                                   " budget")
+                return False
         return True
+
+    def _ship_bandwidth(self) -> float:
+        """Measured host->HBM bytes/s (one 32 MB probe per process)."""
+        global _SHIP_BW
+        if _SHIP_BW is None:
+            import jax
+            import jax.numpy as jnp
+            probe = np.ones(1 << 25, np.int8)
+            jnp.asarray(probe[: 1 << 20]).block_until_ready()   # warm path
+            t0 = time.time()
+            jnp.asarray(probe).block_until_ready()
+            _SHIP_BW = max(probe.nbytes / max(time.time() - t0, 1e-6), 1.0)
+        return _SHIP_BW
 
     def _candidates_device(self, entries, opts):
         """The production on-device L3: bit-exact vs the host path, with

@@ -119,6 +119,13 @@ class MapperConfig:
     # eligible batch and keep the winner — on co-located TPUs the device
     # path wins, through a high-latency tunnel the native host path does)
     device_candidates: object = "auto"
+    # "auto" device-L3 only ships the CSR postings to HBM when the
+    # estimated one-time transfer (posting bytes / a measured host->HBM
+    # probe bandwidth) fits this budget: ~1 s for any index on a local
+    # PCIe chip, while a Gbp index through a ~90 MB/s devserver tunnel
+    # (minutes of stall) stays on the native host path.  True forces the
+    # ship regardless.
+    device_l3_ship_budget_secs: float = 15.0
     # LS pass1 on-device window gather from the resident genome plane:
     # cuts per-batch host->device bytes ~20x AND replaces the host-side
     # window materialization with per-row HBM DMA (vmapped dynamic_slice;

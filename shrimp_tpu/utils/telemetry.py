@@ -194,10 +194,12 @@ def print_statistics(out, tel: Telemetry, *,
                     str(engine_info.get("pass1_engine") or "untuned"))
             _line24(out, "Pass1 gather path:",
                     str(engine_info.get("pass1_path") or "untuned"))
-            _line24(out, "L3 path:",
-                    str(engine_info.get("l3_choice") or
-                        ("device" if engine_info.get("device_candidates")
-                         is True else "host")))
+            l3 = str(engine_info.get("l3_choice") or
+                     ("device" if engine_info.get("device_candidates")
+                      is True else "host"))
+            if engine_info.get("l3_reason"):
+                l3 += f" ({engine_info['l3_reason']})"
+            _line24(out, "L3 path:", l3)
             _line24(out, "Device-L3 fallbacks:",
                     str(engine_info.get("device_l3_fallbacks", 0)))
             out("")
