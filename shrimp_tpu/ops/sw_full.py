@@ -353,14 +353,38 @@ def sw_full_batch_packed(genome: jax.Array, read: jax.Array,
                        constant_values=GENOME_PAD)
     tilt = ae * jnp.arange(W + 1, dtype=jnp.int32)[None, :]
 
-    def gather_prev(prev, idx, border):
-        """prev [B, W] at per-lane indices idx [B, W]; out-of-range ->
-        border scalar."""
-        padded = jnp.concatenate(
-            [jnp.full((B, 1), border, prev.dtype), prev,
-             jnp.full((B, 1), border, prev.dtype)], axis=1)
-        return jnp.take_along_axis(padded,
-                                   jnp.clip(idx, -1, W) + 1, axis=1)
+    # Per-row left-shift by a dynamic amount, as a log-decomposed chain
+    # of STATIC shifts selected per row.  A per-lane take_along_axis
+    # gather costs ~ms on the TPU (no cross-lane shuffle hardware — it
+    # lowers to one-hot contractions); 7 conditional static shifts are
+    # pure VPU selects.  Shift distances here are bounded by the genome
+    # width (xmin < G <= padding below), asserted via the clip.
+    SHIFT_PAD = 2                       # power of two > any shift (< G)
+    while SHIFT_PAD < G:
+        SHIFT_PAD <<= 1
+
+    def shift_rows(P, d, border):
+        """out[b, u] = P[b, u + d[b]] for d[b] >= 0, border beyond the
+        right edge; P [B*, W*], d [B*, 1] int32."""
+        Wp_ = P.shape[1]
+        if getattr(border, "ndim", 0):  # per-row border column [B*, 1]
+            fill = jnp.broadcast_to(border, (P.shape[0], SHIFT_PAD))
+        else:
+            fill = jnp.full((P.shape[0], SHIFT_PAD), border, P.dtype)
+        ext = jnp.concatenate([P, fill.astype(P.dtype)], axis=1)
+        dd = jnp.clip(d, 0, SHIFT_PAD - 1)
+        k = SHIFT_PAD >> 1
+        while k:
+            shifted = jnp.concatenate(
+                [ext[:, k:], fill[:, :k].astype(P.dtype)], axis=1)
+            ext = jnp.where((dd & k) != 0, shifted, ext)
+            k >>= 1
+        return ext[:, :Wp_]
+
+    bor3 = jnp.concatenate([
+        jnp.full((B, 1), bor_nw, jnp.int32),
+        jnp.full((B, 1), bor_n, jnp.int32),
+        jnp.full((B, 1), bor_w, jnp.int32)], axis=0)       # [3B, 1]
 
     def step(carry, xs):
         (nw_p, n_p, w_p, xmin_p, best, best_i, best_j, best_states,
@@ -369,12 +393,18 @@ def sw_full_batch_packed(genome: jax.Array, read: jax.Array,
         at_i0 = i == 0
         d = jnp.where(at_i0, 0, xmin_c - xmin_p)[:, None]   # [B, 1]
 
-        # predecessor rows in current-packed coordinates
-        p_n_nw = gather_prev(nw_p, uu + d, bor_nw)
-        p_n_n = gather_prev(n_p, uu + d, bor_n)
-        p_d_nw = gather_prev(nw_p, uu + d - 1, bor_nw)
-        p_d_n = gather_prev(n_p, uu + d - 1, bor_n)
-        p_d_w = gather_prev(w_p, uu + d - 1, bor_w)
+        # predecessor rows in current-packed coordinates: one stacked
+        # [3B, W] shift-by-d (north preds) and one shift-by-(d-1) via a
+        # prepended border column (diagonal preds)
+        T = jnp.concatenate([nw_p, n_p, w_p], axis=0)       # [3B, W]
+        d3 = jnp.tile(d, (3, 1))
+        # one shifted width-(W+1) plane yields both predecessors:
+        # out[u] = [bor|T][u+d], so out[:W] = T[u+d-1] (diagonal preds)
+        # and out[1:] = T[u+d] (north preds)
+        S = shift_rows(jnp.concatenate([bor3, T], axis=1), d3, bor3)
+        S_d, S_n = S[:, :W], S[:, 1:]
+        p_n_nw, p_n_n = S_n[:B], S_n[B:2 * B]
+        p_d_nw, p_d_n, p_d_w = S_d[:B], S_d[B:2 * B], S_d[2 * B:]
         # virtual row -1 overrides every border (at_i0 precedence in the
         # full kernel)
         p_n_nw = jnp.where(at_i0, r1_nw, p_n_nw)
@@ -384,7 +414,8 @@ def sw_full_batch_packed(genome: jax.Array, read: jax.Array,
         p_d_w = jnp.where(at_i0, r1_w, p_d_w)
 
         jj = xmin_c[:, None] + uu                  # real genome columns
-        gchar = jnp.take_along_axis(genome_p, jj, axis=1)
+        gchar = shift_rows(genome_p, xmin_c[:, None],
+                           jnp.int32(GENOME_PAD))[:, :W]
         ms = jnp.where(gchar == rchar[:, None], m, x)
 
         # --- NW state (diag preds only) ---
