@@ -27,7 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 from shrimp_tpu.ops.params import SWParams
 from shrimp_tpu.ops.sw_vector import GENOME_PAD, NEG_INF, READ_PAD
 
-_TB = 8          # batch rows per tile (int32 sublane tile)
+_TB = 256        # batch rows per tile (measured: 3x the 8-row tile — a
+                 # [TB, 128] plane op runs 32 vregs deep, amortizing the
+                 # grid and pipelining the VPU; 1024 exceeds VMEM)
 _LANE = 128
 
 

@@ -80,14 +80,21 @@ PASS1_PLANE_PAD = 1 << 12
 
 def _chunk_sizes(n: int, chunk: int = PASS1_CHUNK) -> list[int]:
     """Split n rows into kernel invocations: full fixed-size chunks plus
-    one power-of-two tail bucket — compile shapes stay bounded while
-    padding waste stays under half of one tail bucket."""
+    one tail bucket.  Multi-chunk batches restrict the tail to
+    {chunk/2, chunk} so a whole run exercises exactly two compile shapes
+    — every distinct shape is a fresh XLA compile (~25 s through the
+    remote-compile tunnel) that would otherwise land mid-run whenever a
+    batch's window count crossed a new power of two.  Single-chunk
+    batches (small CLI runs) keep fine-grained buckets: they compile
+    once regardless."""
+    if n < chunk:
+        return [_bucket_rows(n)]
     sizes = []
     while n >= chunk:
         sizes.append(chunk)
         n -= chunk
     if n:
-        sizes.append(_bucket_rows(n))
+        sizes.append(chunk // 2 if n <= chunk // 2 else chunk)
     return sizes
 
 
@@ -1013,7 +1020,12 @@ class Mapper:
         idxs = np.flatnonzero(keep)
         rid = hb.rid[idxs]
         st = hb.st[idxs]
-        G = _round_up(max(1, int(hb.w_len[idxs].max())), 32)
+        # coarse shape buckets: every distinct (G, R, chunk) combination
+        # is a separate XLA compile (~25 s through the remote-compile
+        # tunnel, and it lands mid-run when a later batch's max window
+        # exceeds the warmup's); G rides the 128-lane pad the kernels
+        # apply anyway, so a 128-multiple costs nothing extra
+        G = _round_up(max(1, int(hb.w_len[idxs].max())), 128)
         R = _round_up(max(e.read_len for e in entries), 32)
         NB = _bucket_rows(len(idxs))
         if opts.pass1.gapless:
@@ -1205,7 +1217,10 @@ class Mapper:
         ax = np.where(rev_mask, -ax + (w_len - 1) - (al - 1) - (aw - 1), ax)
         ay = np.where(rev_mask, -ay + (rlen - 1) - (al - 1) + (aw - 1), ay)
 
-        G = _round_up(max(1, int(w_len.max())), 32)
+        # coarse buckets, same reason as _pass1_dispatch: stable compile
+        # shapes across batches (G in 128s; the packed DP's cost scales
+        # with W, not G)
+        G = _round_up(max(1, int(w_len.max())), 128)
         R = _round_up(max(e.read_len for e in entries), 32)
         NB = _bucket_rows(N)
         gb_f = self._gather_windows(self.index.genome, cn, g_off, w_len, G)
@@ -1255,7 +1270,7 @@ class Mapper:
                 band_xmin=band_xmin, band_xmax=band_xmax)
         else:
             qr4 = None
-            Wp = (_round_up(int((band_xmax - band_xmin).max()) + 1, 16)
+            Wp = (_round_up(int((band_xmax - band_xmin).max()) + 1, 32)
                   if band_xmin is not None else None)
             if Wp is not None and Wp < G:
                 # band-packed DP: R-step scan over [B, W] planes instead
