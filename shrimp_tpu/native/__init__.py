@@ -162,6 +162,13 @@ def load_candidates() -> ctypes.CDLL | None:
     lib.pass1_suppress.restype = None
     lib.pass1_suppress.argtypes = [
         i64p, c_ll, i32p, i8p2, i32p, i64p, i64p, i64p, i64p, i64p, u8p]
+    try:                            # absent only in a stale prebuilt .so
+        lib.pass1_suppress_flags.restype = None
+        lib.pass1_suppress_flags.argtypes = [
+            i64p, c_ll, i32p, i8p2, i32p, i64p, i64p, i64p, i64p, i64p,
+            u8p, u8p, u8p]
+    except AttributeError:
+        pass
     lib.topk_select_batch.restype = c_ll
     lib.topk_select_batch.argtypes = [
         i64p, i64p, c_ll, i64p, c_ll, i64p, i64p]

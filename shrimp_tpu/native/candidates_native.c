@@ -143,6 +143,48 @@ void pass1_suppress(const int64_t *order, long long n,
     }
 }
 
+/* Paired-fallback variant (the unpaired rounds of handle_readpair,
+ * mapping.c:1299-1356 with saved paired hits): rows flagged `saved`
+ * become last_good unconditionally and are never suppressed; rows with
+ * upd == 0 (score persisted from a paired round) skip the last_good
+ * update.  Replaces a ~1M-iteration Python scan per strand. */
+void pass1_suppress_flags(const int64_t *order, long long n,
+                          const int32_t *rid, const int8_t *st,
+                          const int32_t *cn, const int64_t *goff,
+                          const int64_t *scores, const int64_t *thr,
+                          const int64_t *ovl_r, const int64_t *wlen_r,
+                          const uint8_t *saved, const uint8_t *upd,
+                          uint8_t *suppressed)
+{
+    long long i;
+    int64_t lg = -1;
+    int32_t prev_r = -1;
+    int8_t prev_s = -1;
+    for (i = 0; i < n; i++) {
+        int64_t k = order[i];
+        int32_t r = rid[k];
+        int8_t s = st[k];
+        if (r != prev_r || s != prev_s) {
+            lg = -1;
+            prev_r = r;
+            prev_s = s;
+        }
+        if (saved[k]) {
+            lg = k;
+            continue;
+        }
+        if (lg >= 0 && cn[k] == cn[lg]
+            && goff[k] + ovl_r[r] <= goff[lg] + wlen_r[r]) {
+            suppressed[k] = 1;
+            continue;
+        }
+        if (!upd[k])
+            continue;
+        if (scores[k] >= thr[k])
+            lg = k;
+    }
+}
+
 
 /* ------------------------------------------------------------------ *
  * Fused anchor-list construction (read_get_anchor_list_per_strand,

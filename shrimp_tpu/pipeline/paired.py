@@ -103,6 +103,63 @@ def compute_mp_deltas(pair_mode: int, rlen1: int, wlen1: int,
     return d1, d2
 
 
+def _suppress_scan_flags(hb, idxs, order, sc, thr, need, saved_mask,
+                         window_overlap, wlen_cfg) -> np.ndarray:
+    """Window-overlap suppression over participating hits with the
+    paired-round flags (read_pass1_per_strand, mapping.c:1299-1356):
+    saved hits become last_good unconditionally and are never
+    suppressed; hits with a persisted score (need == 0) never update
+    last_good.  Native C scan (pass1_suppress_flags) with a Python
+    fallback; returns the suppressed bool mask over idxs order."""
+    ovl_r = np.array([int(abs_or_pct(window_overlap, w))
+                      for w in wlen_cfg], np.int64)
+    from shrimp_tpu import native as _native
+    _clib = _native.load_candidates()
+    if _clib is not None and hasattr(_clib, "pass1_suppress_flags"):
+        import ctypes as _ct
+        _sup = np.zeros(len(idxs), np.uint8)
+
+        def _p(a, t):
+            return np.ascontiguousarray(a).ctypes.data_as(_ct.POINTER(t))
+        _clib.pass1_suppress_flags(
+            _p(order.astype(np.int64), _ct.c_longlong), len(idxs),
+            _p(hb.rid[idxs].astype(np.int32), _ct.c_int32),
+            _p(hb.st[idxs].astype(np.int8), _ct.c_int8),
+            _p(hb.cn[idxs].astype(np.int32), _ct.c_int32),
+            _p(hb.g_off[idxs].astype(np.int64), _ct.c_longlong),
+            _p(np.ascontiguousarray(sc, np.int64), _ct.c_longlong),
+            # thr may arrive float (absolute-threshold branch); ints
+            # compare sc >= thr exactly via ceil (thr >= 0 always)
+            _p(np.ceil(thr).astype(np.int64), _ct.c_longlong),
+            _p(ovl_r, _ct.c_longlong),
+            _p(np.ascontiguousarray(wlen_cfg, np.int64), _ct.c_longlong),
+            _p(saved_mask.astype(np.uint8), _ct.c_uint8),
+            _p(need.astype(np.uint8), _ct.c_uint8),
+            _sup.ctypes.data_as(_ct.POINTER(_ct.c_uint8)))
+        return _sup.astype(bool)
+    sup = np.zeros(len(idxs), bool)
+    lg = -1
+    prev = None
+    for n in order:
+        r, s = hb.rid[idxs[n]], hb.st[idxs[n]]
+        if (r, s) != prev:
+            lg = -1
+            prev = (r, s)
+        if saved_mask[n]:
+            lg = n
+            continue
+        if lg >= 0 and hb.cn[idxs[n]] == hb.cn[idxs[lg]] \
+           and (hb.g_off[idxs[n]] + ovl_r[r]
+                <= hb.g_off[idxs[lg]] + wlen_cfg[r]):
+            sup[n] = True
+            continue
+        if not need[n]:
+            continue                # persisted > 0: no last_good update
+        if sc[n] >= thr[n]:
+            lg = n
+    return sup
+
+
 def common_qname(name1: str, name2: str) -> str:
     """Common-prefix qname trimming of a pair's read names — the SAM
     QNAME both mates share (hit_output, output.c:371-387)."""
@@ -616,7 +673,9 @@ class PairedMapper(Mapper):
         sc_true = true_scores[idxs].copy()
         if need.any():
             nrows = idxs[need]
-            G = _round_up(max(1, int(hb.w_len[nrows].max())), 32)
+            # 128-bucket G shares the unpaired pipeline's compiled
+            # kernel shapes (see mapper._pass1_dispatch)
+            G = _round_up(max(1, int(hb.w_len[nrows].max())), 128)
             R = _round_up(max(e.read_len for e in entries), 32)
             NB = _bucket_rows(len(nrows))
             fresh_sc = self._vector_scores(
@@ -634,27 +693,11 @@ class PairedMapper(Mapper):
                else np.full(len(idxs), -ropts["pass1_threshold"]))
         wlen_cfg = np.array([e.window_len for e in entries], np.int64)
         order = np.lexsort((np.arange(len(idxs)), hb.st[idxs], hb.rid[idxs]))
-        lg = -1
-        prev_key = None
         eff = sc.copy()
-        for n in order:
-            r, s = hb.rid[idxs[n]], hb.st[idxs[n]]
-            if (r, s) != prev_key:
-                lg = -1
-                prev_key = (r, s)
-            if saved_mask[n]:
-                lg = n
-                continue
-            if lg >= 0 and hb.cn[idxs[n]] == hb.cn[idxs[lg]] \
-               and (hb.g_off[idxs[n]]
-                    + int(abs_or_pct(ropts["window_overlap"], wlen_cfg[r]))
-                    <= hb.g_off[idxs[lg]] + wlen_cfg[r]):
-                eff[n] = 0
-                continue
-            if not need[n]:
-                continue            # persisted > 0: no last_good update
-            if sc[n] >= thr[n]:
-                lg = n
+        sup = _suppress_scan_flags(hb, idxs, order, sc, thr, need,
+                                   saved_mask, ropts["window_overlap"],
+                                   wlen_cfg)
+        eff[sup] = 0
         scores[idxs] = eff
         true_scores[idxs] = sc_true
         return scores, true_scores
@@ -750,7 +793,7 @@ class PairedMapper(Mapper):
         ax = np.where(rev_mask, -ax + (w_len - 1) - (al - 1) - (aw - 1), ax)
         ay = np.where(rev_mask, -ay + (rlen - 1) - (al - 1) + (aw - 1), ay)
 
-        G = _round_up(max(1, int(w_len.max())), 32)
+        G = _round_up(max(1, int(w_len.max())), 128)
         R = _round_up(max(e.read_len for e in entries), 32)
         NB = _bucket_rows(N)
         gb_f = self._gather_windows(self.index.genome, cn, g_off, w_len, G)
@@ -793,7 +836,7 @@ class PairedMapper(Mapper):
             stats = np.asarray(stats_d)[:N]
             crossovers = stats[:, 10]
         else:
-            Wp = (_round_up(int((band_xmax - band_xmin).max()) + 1, 16)
+            Wp = (_round_up(int((band_xmax - band_xmin).max()) + 1, 32)
                   if band_xmin is not None else None)
             if Wp is not None and Wp < G:
                 # band-packed DP (see mapper._pass2_dispatch)
@@ -1027,7 +1070,9 @@ class PairedMapper(Mapper):
         sc = prev_eff.copy()
         if need.any():
             nrows = idxs[need]
-            G = _round_up(max(1, int(hb.w_len[nrows].max())), 32)
+            # 128-bucket G shares the unpaired pipeline's compiled
+            # kernel shapes (see mapper._pass1_dispatch)
+            G = _round_up(max(1, int(hb.w_len[nrows].max())), 128)
             R = _round_up(max(e.read_len for e in entries), 32)
             NB = _bucket_rows(len(nrows))
             sc[need] = self._vector_scores(
@@ -1041,29 +1086,11 @@ class PairedMapper(Mapper):
                else (score_max * (t1 / 100.0)).astype(np.int64))
         wlen_cfg = np.array([e.window_len for e in entries], np.int64)
         order = np.lexsort((np.arange(len(idxs)), hb.st[idxs], hb.rid[idxs]))
-        lg = -1
-        prev = None
         eff = sc.copy()
-        for n in order:
-            r, s = hb.rid[idxs[n]], hb.st[idxs[n]]
-            if (r, s) != prev:
-                lg = -1
-                prev = (r, s)
-            # saved hits become last_good unconditionally and are never
-            # suppressed (read_pass1_per_strand, mapping.c:1299-1302)
-            if saved_mask[n]:
-                lg = n
-                continue
-            if lg >= 0 and hb.cn[idxs[n]] == hb.cn[idxs[lg]] \
-               and (hb.g_off[idxs[n]]
-                    + int(abs_or_pct(cfg.window_overlap, wlen_cfg[r]))
-                    <= hb.g_off[idxs[lg]] + wlen_cfg[r]):
-                eff[n] = 0
-                continue
-            if not need[n]:
-                continue            # persisted > 0: no last_good update
-            if sc[n] >= thr[n]:
-                lg = n
+        sup = _suppress_scan_flags(hb, idxs, order, sc, thr, need,
+                                   saved_mask, cfg.window_overlap,
+                                   wlen_cfg)
+        eff[sup] = 0
 
         # select top-k unsaved hits per read.  Selection has NO min_matches
         # gate (read_get_vector_hits, mapping.c:1540-1560): hits below
@@ -1078,28 +1105,29 @@ class PairedMapper(Mapper):
         live = scores_full >= thr_full
         if alive is not None:
             live &= alive[hb.rid]
-        rows_live = np.flatnonzero(live)
-        rows_live = np.array([r for r in rows_live if r not in saved_rows],
-                             dtype=np.int64)
+        rows_live = np.flatnonzero(live).astype(np.int64)
+        if saved_rows:
+            rows_live = rows_live[~np.isin(
+                rows_live, np.fromiter(saved_rows, np.int64))]
         if not len(rows_live):
             return {}
-        pct = np.array([100000 * int(scores_full[r])
-                        // int(hb.score_max[r]) for r in rows_live])
+        pct = (100000 * scores_full[rows_live].astype(np.int64)
+               // hb.score_max[rows_live].astype(np.int64))
         rid = hb.rid[rows_live]
         order2 = np.lexsort((np.arange(len(rows_live)), -pct, rid))
         K = 3 * cfg.num_outputs
-        sel = []
-        cnt = {}
-        for n in order2:
-            r = int(rid[n])
-            c = cnt.get(r, 0)
-            if c < K:
-                sel.append(int(rows_live[n]))
-                cnt[r] = c + 1
+        # first K per read in order2 (vectorized run-cumcount)
+        r_sorted = rid[order2]
+        starts = np.r_[True, r_sorted[1:] != r_sorted[:-1]]
+        grp_start = np.maximum.accumulate(
+            np.where(starts, np.arange(len(r_sorted)), 0))
+        cumcount = np.arange(len(r_sorted)) - grp_start
+        sel_arr = rows_live[order2[cumcount < K]]
+        sel = [int(r) for r in sel_arr]
 
         res = self._run_full_sw(
             entries, istrand, hb, sel, cfg.sw_full_threshold,
-            score_vectors=np.array([scores_full[r] for r in sel], np.int64))
+            score_vectors=scores_full[sel_arr].astype(np.int64))
         by_read = {}
         for row, fh in res.items():
             if fh is None or fh.score_full == 0:
