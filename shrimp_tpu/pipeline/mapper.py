@@ -69,6 +69,41 @@ def _p1_gather_score_ls(plane_pad, lo, wlen, rid, st, reads2, G, params,
 # measured host->HBM probe bandwidth (bytes/s), shared per process
 _SHIP_BW: float | None = None
 
+# genomes past the TPU's int32 dynamic-slice offset ceiling split the
+# resident plane here; each window slices both halves and keeps the
+# in-range one (_p1_gather_score_ls_2pl)
+PASS1_PLANE_SPLIT = (1 << 31) - (1 << 13)
+# largest genome the single int32-indexed plane covers (tests shrink
+# these constants to exercise the split path on toy genomes)
+PASS1_PLANE_SINGLE_MAX = (1 << 31) - (1 << 12)
+
+
+@_functools.partial(__import__("jax").jit,
+                    static_argnames=("G", "params", "engine"))
+def _p1_gather_score_ls_2pl(plane_a, plane_b, in_a, lo_a, lo_b, wlen,
+                            rid, st, reads2, G, params, engine="scan"):
+    """Two-plane variant of `_p1_gather_score_ls` for genomes >= 2^31
+    bases.  Absolute int64 starts cannot cross the wire (JAX downcasts
+    to int32 without x64 mode, and TPU dynamic-slice offsets are int32
+    anyway — both silently wrap past 2^31), so the host pre-splits each
+    start into (in_a, lo_a, lo_b) int32 coordinates: plane A covers
+    [0, PASS1_PLANE_SPLIT + PASS1_PLANE_PAD), plane B covers
+    [PASS1_PLANE_SPLIT, end] + pad.  Both slices run (per-row DMA); the
+    in-range one is kept — bit-identical to the host gather."""
+    import jax
+    import jax.numpy as jnp
+    win_a = jax.vmap(
+        lambda l: jax.lax.dynamic_slice_in_dim(plane_a, l, G))(lo_a)
+    win_b = jax.vmap(
+        lambda l: jax.lax.dynamic_slice_in_dim(plane_b, l, G))(lo_b)
+    win = jnp.where(in_a[:, None], win_a, win_b)
+    cols = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+    win = jnp.where(cols < wlen[:, None], win,
+                    jnp.int8(sw_vector.GENOME_PAD))
+    rb = reads2[rid, st]
+    return sw_vector.sw_score_engine(win, rb, params, engine=engine)
+
+
 # pass-1 work is cut into fixed-size chunks: stable compile shapes, no
 # power-of-two padding blow-up on million-window batches, and the host
 # gather of chunk k+1 overlaps the (async-dispatched) device DP of chunk k
@@ -299,7 +334,13 @@ class Mapper:
             return False
         if self._pass1_path == "host":
             return False
-        if self.index.total_len >= (1 << 31) - PASS1_PLANE_PAD \
+        # hg18-class (> 2^31) genomes ride a two-plane select: TPU
+        # dynamic_slice offsets are int32 internally (int64 starts
+        # beyond 2^31 silently truncate — measured as matched_frac 0 at
+        # 3.1 Gbp), so the plane is split at PASS1_PLANE_SPLIT and each
+        # window slices both halves, keeping the in-range one
+        if self.index.total_len >= PASS1_PLANE_SPLIT \
+                + PASS1_PLANE_SINGLE_MAX - PASS1_PLANE_PAD \
                 or self.index.total_len == 0 or G > PASS1_PLANE_PAD:
             return False
         if self.cfg.device_pass1_gather == "auto":
@@ -310,13 +351,29 @@ class Mapper:
         return True
 
     def _genome_dev_plane(self):
-        """The resident padded device plane (shipped once per run)."""
+        """The resident padded device plane(s) (shipped once per run).
+
+        Returns one array for genomes under 2^31 bases, else an
+        (A, B) pair split at PASS1_PLANE_SPLIT: A carries
+        [0, SPLIT + PASS1_PLANE_PAD) so windows starting just before the
+        split read their real continuation, B carries [SPLIT, end] plus
+        pad — both under the TPU's int32 dynamic-slice offset ceiling."""
         if self._genome_dev is None:
             import jax.numpy as jnp
-            self._genome_dev = jnp.pad(
-                jnp.asarray(self.index.genome), (0, PASS1_PLANE_PAD),
-                constant_values=sw_vector.GENOME_PAD)
-            self._genome_dev.block_until_ready()
+            g = np.asarray(self.index.genome)
+            if self.index.total_len < PASS1_PLANE_SINGLE_MAX:
+                self._genome_dev = jnp.pad(
+                    jnp.asarray(g), (0, PASS1_PLANE_PAD),
+                    constant_values=sw_vector.GENOME_PAD)
+                self._genome_dev.block_until_ready()
+            else:
+                a = jnp.asarray(g[:PASS1_PLANE_SPLIT + PASS1_PLANE_PAD])
+                b = jnp.pad(jnp.asarray(g[PASS1_PLANE_SPLIT:]),
+                            (0, PASS1_PLANE_PAD),
+                            constant_values=sw_vector.GENOME_PAD)
+                a.block_until_ready()
+                b.block_until_ready()
+                self._genome_dev = (a, b)
         return self._genome_dev
 
     # ------------------------------------------------------------------
@@ -363,16 +420,22 @@ class Mapper:
             rb2_d = jnp.asarray(rb2)
 
             def run_dev():
+                if isinstance(plane_pad, tuple):
+                    return np.asarray(_p1_gather_score_ls_2pl(
+                        plane_pad[0], plane_pad[1], lo[0], lo[1], lo[2],
+                        wl, ridp, stp, rb2_d, G, p, engine=engine))
                 return np.asarray(_p1_gather_score_ls(
                     plane_pad, lo, wl, ridp, stp, rb2_d, G, p,
                     engine=engine))
+
+            rows = len(lo[1]) if isinstance(lo, tuple) else len(lo)
 
             def run_host():
                 gb = self._gather_windows(self.index.genome, cn[:C],
                                           g_off_pos[:C], w_len[:C], G)
                 rb = rb2[rid[:C], st[:C]]
-                gb = _pad_rows(gb, len(lo), sw_vector.GENOME_PAD)
-                rb = _pad_rows(rb, len(lo), sw_vector.READ_PAD)
+                gb = _pad_rows(gb, rows, sw_vector.GENOME_PAD)
+                rb = _pad_rows(rb, rows, sw_vector.READ_PAD)
                 return np.asarray(sw_vector.sw_score_engine(
                     gb, rb, p, engine=engine))
 
@@ -414,13 +477,27 @@ class Mapper:
             use_dev = self._pass1_dev_ok(G)
             if use_dev:
                 plane_pad = self._genome_dev_plane()
-                lo_all = (self.index.contig_offsets[cn]
-                          + g_off_pos).astype(np.int32)
+                lo64 = (self.index.contig_offsets[cn]
+                        + g_off_pos).astype(np.int64)
+                if self.index.total_len < PASS1_PLANE_SINGLE_MAX:
+                    lo_all = lo64.astype(np.int32)
+                else:
+                    # host-side split coordinates (see
+                    # _p1_gather_score_ls_2pl on why int64 can't ship)
+                    lo_all = (
+                        (lo64 < PASS1_PLANE_SPLIT),
+                        np.clip(lo64, 0,
+                                PASS1_PLANE_SPLIT - 1).astype(np.int32),
+                        np.maximum(lo64 - PASS1_PLANE_SPLIT,
+                                   0).astype(np.int32))
                 if self.cfg.device_pass1_gather == "auto" \
                         and self._pass1_path is None:
                     C = min(PASS1_CHUNK, _bucket_rows(N))
+                    lo_h = (tuple(_pad_rows(a[:C], C, 0) for a in lo_all)
+                            if isinstance(lo_all, tuple)
+                            else _pad_rows(lo_all[:C], C, 0))
                     use_dev = self._tune_pass1_path(
-                        plane_pad, _pad_rows(lo_all[:C], C, 0),
+                        plane_pad, lo_h,
                         _pad_rows(w_len[:C].astype(np.int32), C, 0),
                         _pad_rows(rid[:C].astype(np.int32), C, 0),
                         _pad_rows(st[:C].astype(np.int32), C, 0),
@@ -433,12 +510,21 @@ class Mapper:
                 for C in _chunk_sizes(N):
                     n = min(C, N - pos)
                     sl = slice(pos, pos + n)
-                    dev = _p1_gather_score_ls(
-                        plane_pad, _pad_rows(lo_all[sl], C, 0),
-                        _pad_rows(w_len[sl].astype(np.int32), C, 0),
-                        _pad_rows(rid[sl].astype(np.int32), C, 0),
-                        _pad_rows(st[sl].astype(np.int32), C, 0),
-                        rb2_d, G, cfg.params, engine=engine)
+                    rest = (_pad_rows(w_len[sl].astype(np.int32), C, 0),
+                            _pad_rows(rid[sl].astype(np.int32), C, 0),
+                            _pad_rows(st[sl].astype(np.int32), C, 0),
+                            rb2_d, G, cfg.params)
+                    if isinstance(plane_pad, tuple):
+                        dev = _p1_gather_score_ls_2pl(
+                            plane_pad[0], plane_pad[1],
+                            _pad_rows(lo_all[0][sl], C, False),
+                            _pad_rows(lo_all[1][sl], C, 0),
+                            _pad_rows(lo_all[2][sl], C, 0),
+                            *rest, engine=engine)
+                    else:
+                        dev = _p1_gather_score_ls(
+                            plane_pad, _pad_rows(lo_all[sl], C, 0),
+                            *rest, engine=engine)
                     out.append((dev, n))
                     pos += n
             else:
