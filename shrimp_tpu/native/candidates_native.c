@@ -704,6 +704,7 @@ typedef struct {
 static __thread rm_rec *rm_a = 0, *rm_b = 0;
 static __thread long long rm_cap = 0;
 
+
 static int rm_ensure(long long n)
 {
     if (rm_cap >= n)
@@ -723,30 +724,38 @@ static int rm_ensure(long long n)
     return 0;
 }
 
+/* 11-bit LSD radix: 3 passes cover any 32-bit genome position (the
+ * 8-bit form needed 4); the 2048-entry count table is still L1-sized. */
+#define RM_DIG_BITS 11
+#define RM_DIG ((1 << RM_DIG_BITS))
+
 static void rm_sort(long long m, uint32_t max_x)
 {
-    int64_t counts[256];
+    int64_t counts[RM_DIG];
+    /* small reads: 8-bit digits keep the count-table memset cheap */
+    int bits = m >= 4096 ? RM_DIG_BITS : 8;
+    int ndig = 1 << bits, max_p = bits == 8 ? 4 : 3;
     int passes = 1, p;
     long long i;
     rm_rec *src = rm_a, *dst = rm_b, *tmp;
-    while (passes < 4 && (max_x >> (8 * passes)) != 0)
+    while (passes < max_p && (max_x >> (bits * passes)) != 0)
         passes++;
     for (p = 0; p < passes; p++) {
-        int sh = 8 * p;
-        memset(counts, 0, sizeof(counts));
+        int sh = bits * p;
+        memset(counts, 0, (size_t)ndig * sizeof(int64_t));
         for (i = 0; i < m; i++)
-            counts[(src[i].x >> sh) & 0xFF]++;
+            counts[(src[i].x >> sh) & (ndig - 1)]++;
         {
             int64_t acc = 0, c;
             int d;
-            for (d = 0; d < 256; d++) {
+            for (d = 0; d < ndig; d++) {
                 c = counts[d];
                 counts[d] = acc;
                 acc += c;
             }
         }
         for (i = 0; i < m; i++)
-            dst[counts[(src[i].x >> sh) & 0xFF]++] = src[i];
+            dst[counts[(src[i].x >> sh) & (ndig - 1)]++] = src[i];
         tmp = src; src = dst; dst = tmp;
     }
     if (src != rm_a)
@@ -803,7 +812,10 @@ long long anchors_from_csr_rm(
 
         if (use_region) {
             /* per-read (region) group scan over sorted x; rm_b is free
-             * after the sort and holds the group table */
+             * after the sort and holds the group table.  (A
+             * count-before-expand epoch-table variant was measured no
+             * faster here: two random accesses per posting into a
+             * multi-MB region table cost what the smaller sort saved.) */
             reg_group *grp = (reg_group *)rm_b;
             long long ng = 0, w = 0, g = 0;
             for (i = 0; i < m; i++) {
