@@ -331,6 +331,7 @@ class PairedMapper(Mapper):
             # scores (read_pass1 skipped, mapping.c:2528-2533); a fresh hit
             # list forces recomputation regardless (stale scores would be
             # uninitialized in the reference) ----
+            p1_ctx: dict[int, dict | None] = {0: None, 1: None}
             for side, entries, istrand in ((0, entries1, input_strand1),
                                            (1, entries2, input_strand2)):
                 if (sv[side] is not None and not fresh[side]
@@ -338,10 +339,19 @@ class PairedMapper(Mapper):
                     continue
                 prev = (None if fresh[side] or sv[side] is None
                         else (sv[side], sv_true[side]))
-                sv[side], sv_true[side] = self._paired_pass1(
+                p1_ctx[side] = self._paired_pass1_begin(
                     entries, istrand, hits[side],
                     pair_rows[f"in_pair_{side}"], rsides[side],
                     prev=prev, saved_rows=saved_rows[side])
+            # one device dispatch covers both mates' fresh windows
+            self._score_windows_sides([p1_ctx[0], p1_ctx[1]])
+            for side in (0, 1):
+                ctx = p1_ctx[side]
+                if ctx is None:
+                    continue
+                sv[side], sv_true[side] = (
+                    ctx["done"] if ctx["done"] is not None
+                    else self._paired_pass1_end(ctx))
 
             # ---- paired vector-hit selection + paired pass2 ----
             sel_pairs = self._select_vector_pairs(hits, sv, pair_rows, popts,
@@ -381,11 +391,18 @@ class PairedMapper(Mapper):
         unpaired_final = {0: {}, 1: {}}
         if cfg.half_paired and alive.any():
             fb = self._fallback_ropts()
-            for side, entries, istrand in ((0, entries1, input_strand1),
-                                           (1, entries2, input_strand2)):
+            hp_ctx = [
+                self._halfpaired_begin(entries, istrand, hits[side],
+                                       sv[side], saved_rows[side], fb,
+                                       alive)
+                for side, entries, istrand in
+                ((0, entries1, input_strand1), (1, entries2,
+                                                input_strand2))]
+            # both mates' fresh windows in one device dispatch
+            self._score_windows_sides(hp_ctx)
+            for side in (0, 1):
                 unpaired_final[side] = self._halfpaired_unpaired(
-                    entries, istrand, hits[side], sv[side],
-                    saved_rows[side], fb, alive)
+                    hp_ctx[side])
 
         # ---- assemble + MQV + package ----
         for pi in range(P):
@@ -637,22 +654,12 @@ class PairedMapper(Mapper):
         }
 
     # ------------------------------------------------------------------
-    def _paired_pass1(self, entries, istrand, hb, in_pair, ropts,
-                      prev=None, saved_rows=()):
-        """Vector SW scores + suppression for hits participating in pairs
-        (read_pass1 with only_paired=true, mapping.c:1282-1360).
-
-        Returns (eff_scores, true_scores): eff has suppressed windows zeroed
-        (drives pair keys); true is the raw vector score (pass2 re-runs the
-        vector kernel per foot, so suppression does not gate full SW —
-        hit_run_full_sw, mapping.c:400-415).
-
-        Multi-round semantics: `prev` = (eff, true) from the previous round
-        over the SAME hit list.  Hits whose persisted score is already > 0
-        are not rescored and do NOT become last_good (the rescore branch is
-        skipped, mapping.c:1316-1356); saved hits update last_good
-        unconditionally; suppression overwrites the score to 0 permanently."""
-        cfg = self.cfg
+    def _paired_pass1_begin(self, entries, istrand, hb, in_pair, ropts,
+                            prev=None, saved_rows=()):
+        """First half of `_paired_pass1`: everything up to (but not
+        including) the vector scoring of hits that need fresh scores.
+        Returns a ctx dict, with ctx["nrows"] = hit rows to score (None
+        when done already — ctx["done"] carries the result)."""
         if prev is not None:
             scores = prev[0].copy()
             true_scores = prev[1].copy()
@@ -662,7 +669,7 @@ class PairedMapper(Mapper):
         keep = in_pair & (hb.matches >= ropts["pass1_min_matches"])
         idxs = np.flatnonzero(keep)
         if not len(idxs):
-            return scores, true_scores
+            return {"done": (scores, true_scores), "nrows": None}
         saved_mask = np.zeros(len(idxs), bool)
         if saved_rows:
             saved_mask = np.isin(idxs, np.fromiter(saved_rows, np.int64))
@@ -671,17 +678,70 @@ class PairedMapper(Mapper):
             else ~saved_mask
         sc = prev_eff.copy()
         sc_true = true_scores[idxs].copy()
-        if need.any():
-            nrows = idxs[need]
-            # 128-bucket G shares the unpaired pipeline's compiled
-            # kernel shapes (see mapper._pass1_dispatch)
+        nrows = idxs[need] if need.any() else None
+        return {"done": None, "entries": entries, "istrand": istrand,
+                "hb": hb, "ropts": ropts, "scores": scores,
+                "true_scores": true_scores, "idxs": idxs,
+                "saved_mask": saved_mask, "need": need, "sc": sc,
+                "sc_true": sc_true, "nrows": nrows}
+
+    def _score_windows_sides(self, tasks):
+        """One vector-SW dispatch covering every pending side's windows
+        (the per-side calls each padded to their own chunk buckets and
+        paid the device round-trip separately; combined they share both).
+        tasks: list of ctx dicts from `_paired_pass1_begin`-style
+        precursors with `nrows` set.  Returns per-task score arrays."""
+        live = [t for t in tasks if t is not None and t["nrows"] is not None]
+        if not live:
+            return
+        if len(live) == 1:
+            t = live[0]
+            hb, nrows = t["hb"], t["nrows"]
             G = _round_up(max(1, int(hb.w_len[nrows].max())), 128)
-            R = _round_up(max(e.read_len for e in entries), 32)
-            NB = _bucket_rows(len(nrows))
-            fresh_sc = self._vector_scores(
-                entries, hb.rid[nrows], hb.st[nrows], hb.cn[nrows],
+            R = _round_up(max(e.read_len for e in t["entries"]), 32)
+            t["fresh"] = self._vector_scores(
+                t["entries"], hb.rid[nrows], hb.st[nrows], hb.cn[nrows],
                 hb.g_off[nrows], hb.w_len[nrows],
-                np.full(len(nrows), istrand, np.int8), G, R, NB)
+                np.full(len(nrows), t["istrand"], np.int8), G, R,
+                _bucket_rows(len(nrows)))
+            return
+        entries_comb = []
+        rid_p, st_p, cn_p, goff_p, wlen_p, istr_p = [], [], [], [], [], []
+        for t in live:
+            off = len(entries_comb)
+            entries_comb.extend(t["entries"])
+            hb, nrows = t["hb"], t["nrows"]
+            rid_p.append(hb.rid[nrows].astype(np.int64) + off)
+            st_p.append(hb.st[nrows])
+            cn_p.append(hb.cn[nrows])
+            goff_p.append(hb.g_off[nrows])
+            wlen_p.append(hb.w_len[nrows])
+            istr_p.append(np.full(len(nrows), t["istrand"], np.int8))
+        rid = np.concatenate(rid_p)
+        wlen = np.concatenate(wlen_p)
+        G = _round_up(max(1, int(wlen.max())), 128)
+        R = _round_up(max(e.read_len for e in entries_comb), 32)
+        out = self._vector_scores(
+            entries_comb, rid, np.concatenate(st_p),
+            np.concatenate(cn_p), np.concatenate(goff_p), wlen,
+            np.concatenate(istr_p), G, R, _bucket_rows(len(rid)))
+        pos = 0
+        for t in live:
+            n = len(t["nrows"])
+            t["fresh"] = out[pos:pos + n]
+            pos += n
+
+    def _paired_pass1_end(self, ctx):
+        """Second half of `_paired_pass1`: apply fresh scores, run the
+        suppression scan, persist."""
+        entries = ctx["entries"]
+        hb = ctx["hb"]
+        ropts = ctx["ropts"]
+        scores, true_scores = ctx["scores"], ctx["true_scores"]
+        idxs, saved_mask, need = ctx["idxs"], ctx["saved_mask"], ctx["need"]
+        sc, sc_true = ctx["sc"], ctx["sc_true"]
+        if ctx["nrows"] is not None:
+            fresh_sc = ctx["fresh"]
             sc[need] = fresh_sc
             sc_true[need] = fresh_sc
 
@@ -701,6 +761,28 @@ class PairedMapper(Mapper):
         scores[idxs] = eff
         true_scores[idxs] = sc_true
         return scores, true_scores
+
+    def _paired_pass1(self, entries, istrand, hb, in_pair, ropts,
+                      prev=None, saved_rows=()):
+        """Vector SW scores + suppression for hits participating in pairs
+        (read_pass1 with only_paired=true, mapping.c:1282-1360).
+
+        Returns (eff_scores, true_scores): eff has suppressed windows
+        zeroed (drives pair keys); true is the raw vector score (pass2
+        re-runs the vector kernel per foot — hit_run_full_sw,
+        mapping.c:400-415).  Multi-round semantics: `prev` = (eff, true)
+        from the previous round over the SAME hit list; persisted > 0
+        scores are not rescored and never update last_good; saved hits
+        update last_good unconditionally; suppression zeroes permanently.
+
+        `map_pair_batch` drives the split begin/score/end form directly
+        so both mates share one device dispatch."""
+        ctx = self._paired_pass1_begin(entries, istrand, hb, in_pair,
+                                       ropts, prev, saved_rows)
+        if ctx["done"] is not None:
+            return ctx["done"]
+        self._score_windows_sides([ctx])
+        return self._paired_pass1_end(ctx)
 
     # ------------------------------------------------------------------
     def _select_vector_pairs(self, hits, sv, pair_rows, popts,
@@ -1047,12 +1129,10 @@ class PairedMapper(Mapper):
         return out
 
     # ------------------------------------------------------------------
-    def _halfpaired_unpaired(self, entries, istrand, hb, sv_paired,
-                             saved_rows, ropts, alive=None):
-        """The unpaired fallback rounds: pass1 over ALL hits (reusing hit
-        lists), skipping saved hits in selection, then unpaired pass2.
-        Restricted to fell-through pairs when `alive` is given."""
-        cfg = self.cfg
+    def _halfpaired_begin(self, entries, istrand, hb, sv_paired,
+                          saved_rows, ropts, alive=None):
+        """First half of the unpaired fallback round: select hits and
+        find those needing fresh vector scores (ctx["nrows"])."""
         # vector scores for all hits with matches >= min_matches (2)
         keep = hb.matches >= ropts["pass1_min_matches"]
         if alive is not None:
@@ -1068,17 +1148,30 @@ class PairedMapper(Mapper):
                     else np.full(len(idxs), -1, np.int64))
         need = (prev_eff <= 0) & ~saved_mask
         sc = prev_eff.copy()
-        if need.any():
-            nrows = idxs[need]
-            # 128-bucket G shares the unpaired pipeline's compiled
-            # kernel shapes (see mapper._pass1_dispatch)
-            G = _round_up(max(1, int(hb.w_len[nrows].max())), 128)
-            R = _round_up(max(e.read_len for e in entries), 32)
-            NB = _bucket_rows(len(nrows))
-            sc[need] = self._vector_scores(
-                entries, hb.rid[nrows], hb.st[nrows], hb.cn[nrows],
-                hb.g_off[nrows], hb.w_len[nrows],
-                np.full(len(nrows), istrand, np.int8), G, R, NB)
+        nrows = idxs[need] if need.any() else None
+        return {"entries": entries, "istrand": istrand, "hb": hb,
+                "sv_paired": sv_paired, "saved_rows": saved_rows,
+                "ropts": ropts, "alive": alive, "idxs": idxs,
+                "saved_mask": saved_mask, "need": need, "sc": sc,
+                "nrows": nrows}
+
+    def _halfpaired_unpaired(self, ctx):
+        """The unpaired fallback rounds: pass1 over ALL hits (reusing hit
+        lists), skipping saved hits in selection, then unpaired pass2.
+        ctx comes from `_halfpaired_begin` after `_score_windows_sides`
+        filled ctx["fresh"]."""
+        cfg = self.cfg
+        entries = ctx["entries"]
+        istrand = ctx["istrand"]
+        hb = ctx["hb"]
+        sv_paired = ctx["sv_paired"]
+        saved_rows = ctx["saved_rows"]
+        ropts = ctx["ropts"]
+        alive = ctx["alive"]
+        idxs, saved_mask, need = ctx["idxs"], ctx["saved_mask"], ctx["need"]
+        sc = ctx["sc"]
+        if ctx["nrows"] is not None:
+            sc[need] = ctx["fresh"]
 
         score_max = hb.score_max[idxs].astype(np.int64)
         t1 = ropts["pass1_threshold"]
