@@ -69,6 +69,38 @@ def _p1_gather_score_ls(plane_pad, lo, wlen, rid, st, reads2, G, params,
 # measured host->HBM probe bandwidth (bytes/s), shared per process
 _SHIP_BW: float | None = None
 
+@_functools.partial(__import__("jax").jit,
+                    static_argnames=("G", "params", "engine"))
+def _p1_gather_score_cs(cs_cat, ls_cat, lo, wlen, rid, ist, initbp,
+                        reads2, G, params, engine="scan"):
+    """Fused on-device window gather + pass-1 vector SW (colour space).
+
+    cs_cat / ls_cat are the forward||reverse-complement concatenations
+    of the CS and LS genome planes (+GENOME_PAD tail), so a reverse hit
+    is just an offset-by-L start — one dynamic-slice per plane per row.
+    The LS slice feeds the row-0 plane (lstocs against the read's
+    initbp, sw-vector.c:111-147), computed on device; bit-identical to
+    the host-gathered path."""
+    import jax
+    import jax.numpy as jnp
+    win_cs = jax.vmap(
+        lambda l: jax.lax.dynamic_slice_in_dim(cs_cat, l, G))(lo)
+    win_ls = jax.vmap(
+        lambda l: jax.lax.dynamic_slice_in_dim(ls_cat, l, G))(lo)
+    cols = jax.lax.broadcasted_iota(jnp.int32, win_cs.shape, 1)
+    live = cols < wlen[:, None]
+    win_cs = jnp.where(live, win_cs, jnp.int8(sw_vector.GENOME_PAD))
+    win_ls = jnp.where(live, win_ls, jnp.int8(sw_vector.GENOME_PAD))
+    row0 = jnp.where(
+        (win_ls >= 0) & (win_ls <= 3), win_ls ^ initbp[:, None],
+        jnp.where(win_ls == jnp.int8(sw_vector.GENOME_PAD),
+                  jnp.int8(sw_vector.GENOME_PAD),
+                  jnp.int8(dna.BASE_N))).astype(jnp.int8)
+    rb = reads2[rid, ist]
+    return sw_vector.sw_score_engine(win_cs, rb, params,
+                                     genome_row0=row0, engine=engine)
+
+
 # genomes past the TPU's int32 dynamic-slice offset ceiling split the
 # resident plane here; each window slices both halves and keeps the
 # in-range one (_p1_gather_score_ls_2pl)
@@ -376,6 +408,40 @@ class Mapper:
                 self._genome_dev = (a, b)
         return self._genome_dev
 
+    def _genome_dev_planes_cs(self):
+        """Resident CS device planes: (cs_fw||cs_rc, ls_fw||ls_rc), each
+        GENOME_PAD-tailed (shipped once per run)."""
+        if self._genome_dev is None:
+            import jax.numpy as jnp
+            pad = np.full(PASS1_PLANE_PAD, sw_vector.GENOME_PAD, np.int8)
+            cs_cat = jnp.asarray(np.concatenate(
+                [np.asarray(self.genome_cs), np.asarray(self.genome_cs_rc),
+                 pad]))
+            ls_cat = jnp.asarray(np.concatenate(
+                [np.asarray(self.index.genome), self.genome_rc, pad]))
+            cs_cat.block_until_ready()
+            ls_cat.block_until_ready()
+            self._genome_dev = (cs_cat, ls_cat)
+        return self._genome_dev
+
+    def _pass1_dev_ok_cs(self, G: int) -> bool:
+        """Device-side pass-1 gather eligibility, colour space: both
+        fw||rc concatenations must sit under the int32 slice ceiling."""
+        if self.cfg.device_pass1_gather is False:
+            return False
+        if self._pass1_path == "host":
+            return False
+        L = self.index.total_len
+        if 2 * L + PASS1_PLANE_PAD >= (1 << 31) or L == 0 \
+                or G > PASS1_PLANE_PAD:
+            return False
+        if self.cfg.device_pass1_gather == "auto":
+            import jax
+            if jax.default_backend() != "tpu" and self._pass1_path is None:
+                self._pass1_path = "host"
+                return False
+        return True
+
     # ------------------------------------------------------------------
     def _gather_windows(self, plane: np.ndarray, cn: np.ndarray,
                         g_off: np.ndarray, w_len: np.ndarray,
@@ -449,6 +515,58 @@ class Mapper:
             t_host = time.time() - t0
             self._pass1_path = "device" if t_dev <= t_host else "host"
             return self._pass1_path == "device"
+
+    def _tune_path_cs(self, dev_chunk, sl, C, n, rev_all, goff_f_all, cn,
+                      w_len, rid, istrand, initbp_all, rb2, G, engine):
+        """Resolve host-gather vs device-gather CS pass-1 once per run
+        by timing both on the first production chunk (compile excluded)
+        — the CS counterpart of `_tune_pass1_path`."""
+        with self._stats_lock:
+            if self._pass1_path is not None:
+                return
+
+            def run_dev():
+                np.asarray(dev_chunk(sl, C))
+
+            def run_host():
+                rev = rev_all[sl]
+                goff_f = goff_f_all[sl]
+                g_cs = np.where(
+                    rev[:, None],
+                    self._gather_windows(self.genome_cs_rc, cn[sl],
+                                         goff_f, w_len[sl], G),
+                    self._gather_windows(self.genome_cs, cn[sl],
+                                         goff_f, w_len[sl], G))
+                g_ls = np.where(
+                    rev[:, None],
+                    self._gather_windows(self.genome_rc, cn[sl],
+                                         goff_f, w_len[sl], G),
+                    self._gather_windows(self.index.genome, cn[sl],
+                                         goff_f, w_len[sl], G))
+                initbp = initbp_all[sl][:, None]
+                row0 = np.where(
+                    (g_ls >= 0) & (g_ls <= 3), g_ls ^ initbp,
+                    np.where(g_ls == sw_vector.GENOME_PAD,
+                             np.int8(sw_vector.GENOME_PAD),
+                             np.int8(dna.BASE_N))).astype(np.int8)
+                rb = rb2[rid[sl], istrand[sl]]
+                gb = _pad_rows(g_cs.astype(np.int8), C,
+                               sw_vector.GENOME_PAD)
+                rb = _pad_rows(rb, C, sw_vector.READ_PAD)
+                row0 = _pad_rows(row0, C, sw_vector.GENOME_PAD)
+                np.asarray(sw_vector.sw_score_engine(
+                    gb, rb, self.vect_params, genome_row0=row0,
+                    engine=engine))
+
+            run_dev()                        # compile
+            t0 = time.time()
+            run_dev()
+            t_dev = time.time() - t0
+            run_host()                       # compile
+            t0 = time.time()
+            run_host()
+            t_host = time.time() - t0
+            self._pass1_path = "device" if t_dev <= t_host else "host"
 
     def _vector_scores(self, entries, rid, st, cn, g_off_pos, w_len,
                        istrand, G: int, R: int, NB: int,
@@ -552,10 +670,41 @@ class Mapper:
         goff_f_all = np.where(rev_all, clen - g_off_pos - wl_all, g_off_pos)
         initbp_all = np.array([entries[r].initbp for r in rid], np.int8)
         rb2 = self._reads2_matrix(entries, R)
+        use_dev = self._pass1_dev_ok_cs(G)
+        if use_dev:
+            import jax.numpy as jnp
+            cs_cat, ls_cat = self._genome_dev_planes_cs()
+            # reverse hits address the rc half of the concatenations
+            lo_abs_all = (self.index.contig_offsets[cn] + goff_f_all
+                          + np.where(rev_all, self.index.total_len, 0)
+                          ).astype(np.int32)
+            rb2_d = jnp.asarray(rb2)
+
+            def _dev_chunk(sl, C):
+                return _p1_gather_score_cs(
+                    cs_cat, ls_cat, _pad_rows(lo_abs_all[sl], C, 0),
+                    _pad_rows(w_len[sl].astype(np.int32), C, 0),
+                    _pad_rows(rid[sl].astype(np.int32), C, 0),
+                    _pad_rows(istrand[sl].astype(np.int32), C, 0),
+                    _pad_rows(initbp_all[sl], C, 0),
+                    rb2_d, G, self.vect_params, engine=engine)
         pos = 0
         for C in _chunk_sizes(N):
             n = min(C, N - pos)
             sl = slice(pos, pos + n)
+            if use_dev:
+                if self.cfg.device_pass1_gather == "auto" \
+                        and self._pass1_path is None:
+                    self._tune_path_cs(_dev_chunk, sl, C, n, rev_all,
+                                       goff_f_all, cn, w_len, rid,
+                                       istrand, initbp_all, rb2, G,
+                                       engine)
+                    if self._pass1_path == "host":
+                        use_dev = False
+                if use_dev:
+                    out.append((_dev_chunk(sl, C), n))
+                    pos += n
+                    continue
             rev = rev_all[sl]
             goff_f = goff_f_all[sl]
             g_cs = np.where(

@@ -68,3 +68,43 @@ def test_single_plane_forced_device(monkeypatch):
     got, m1 = _map_all(idx, reads, device_pass1_gather=True)
     assert not isinstance(m1._genome_dev, tuple)
     assert got == ref
+
+
+def test_cs_device_gather_matches_host():
+    """CS fused device window gather (_p1_gather_score_cs) vs the
+    host-gathered path — bit-identical hits on a toy CS corpus."""
+    from shrimp_tpu.ops.params import SWParams
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 4, 6000).astype(np.int8)
+    contigs = [fastx.Contig(name="c1", codes=g)]
+    idx = gindex.build_index(contigs, seedmod.make_seed_set(None),
+                             colour_space=True)
+    reads = []
+    for i in range(32):
+        p = int(rng.integers(0, 6000 - 60))
+        letters = g[p:p + 50].astype(np.int64).copy()
+        q = int(rng.integers(0, 50))
+        letters[q] = (letters[q] + 1) % 4
+        last = 3
+        cs = ["T"]
+        for b in letters:
+            cs.append(str(int(b) ^ last))
+            last = int(b)
+        reads.append((f"c{i}", "".join(cs), "I" * 50))
+
+    def run(**kw):
+        m = M.Mapper(idx, MapperConfig(colour_space=True,
+                                       params=SWParams.colour_space(),
+                                       qual_delta=33, **kw))
+        out = []
+        for e, hits in m.map_batch(reads):
+            for h in hits:
+                out.append((e.name, h.cn, h.gen_st, h.g_off, h.score_full,
+                            h.genome_start, h.mqv, h.qralign))
+        return out, m
+
+    ref, _ = run(device_pass1_gather=False)
+    assert ref
+    got, m1 = run(device_pass1_gather=True)
+    assert isinstance(m1._genome_dev, tuple)
+    assert got == ref
