@@ -1261,7 +1261,7 @@ class Mapper:
         # exceeds the warmup's); G rides the 128-lane pad the kernels
         # apply anyway, so a 128-multiple costs nothing extra
         G = _round_up(max(1, int(hb.w_len[idxs].max())), 128)
-        R = _round_up(max(e.read_len for e in entries), 32)
+        R = _round_up(max(e.read_len for e in entries), 8)
         NB = _bucket_rows(len(idxs))
         if opts.pass1.gapless:
             dev = self._gapless_scores(
@@ -1456,7 +1456,7 @@ class Mapper:
         # shapes across batches (G in 128s; the packed DP's cost scales
         # with W, not G)
         G = _round_up(max(1, int(w_len.max())), 128)
-        R = _round_up(max(e.read_len for e in entries), 32)
+        R = _round_up(max(e.read_len for e in entries), 8)
         NB = _bucket_rows(N)
         gb_f = self._gather_windows(self.index.genome, cn, g_off, w_len, G)
         gb_r = self._gather_windows(self.genome_rc, cn, g_off, w_len, G)

@@ -698,7 +698,7 @@ class PairedMapper(Mapper):
             t = live[0]
             hb, nrows = t["hb"], t["nrows"]
             G = _round_up(max(1, int(hb.w_len[nrows].max())), 128)
-            R = _round_up(max(e.read_len for e in t["entries"]), 32)
+            R = _round_up(max(e.read_len for e in t["entries"]), 8)
             t["fresh"] = self._vector_scores(
                 t["entries"], hb.rid[nrows], hb.st[nrows], hb.cn[nrows],
                 hb.g_off[nrows], hb.w_len[nrows],
@@ -720,7 +720,7 @@ class PairedMapper(Mapper):
         rid = np.concatenate(rid_p)
         wlen = np.concatenate(wlen_p)
         G = _round_up(max(1, int(wlen.max())), 128)
-        R = _round_up(max(e.read_len for e in entries_comb), 32)
+        R = _round_up(max(e.read_len for e in entries_comb), 8)
         out = self._vector_scores(
             entries_comb, rid, np.concatenate(st_p),
             np.concatenate(cn_p), np.concatenate(goff_p), wlen,
@@ -876,7 +876,7 @@ class PairedMapper(Mapper):
         ay = np.where(rev_mask, -ay + (rlen - 1) - (al - 1) + (aw - 1), ay)
 
         G = _round_up(max(1, int(w_len.max())), 128)
-        R = _round_up(max(e.read_len for e in entries), 32)
+        R = _round_up(max(e.read_len for e in entries), 8)
         NB = _bucket_rows(N)
         gb_f = self._gather_windows(self.index.genome, cn, g_off, w_len, G)
         gb_r = self._gather_windows(self.genome_rc, cn, g_off, w_len, G)
