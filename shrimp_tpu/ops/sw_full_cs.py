@@ -204,59 +204,79 @@ def sw_full_cs_batch(genome_ls: jax.Array, qr4: jax.Array,
             return arr[:, l, :]
 
         # --- build each layer's candidates; static unroll over k ---
+        # first-strict-max over ordered groups composes hierarchically:
+        # precompute each source layer l's best (score, ptr) triple once
+        # (shared by every destination layer), then each k picks over
+        # [own triple..., M_l + ms_k + xp] — 4 shared 3-picks + 4 6-picks
+        # instead of 4 12-picks per state (~30% fewer plane ops)
         s_nw_l, p_nw_l, s_n_l, p_n_l, s_w_l, p_w_l = [], [], [], [], [], []
+        xpk = xp[:, 0, :]
+        # per-source-layer maxima for the diagonal (NW-state) candidates;
+        # the taboo guard is per-destination ROW (tok varies only with i,
+        # not k — taboo_ok[:, k, :] is identical for all k): guard inside
+        tok_row = taboo_ok[:, 0, :]
+
+        def guard_row(v):
+            return jnp.where(tok_row, v, TB)
+
+        M_d_f, M_d_r, M_n_f, M_n_r = [], [], [], []
+        for l in range(4):
+            fs, fp = pick([(layer(p_d_nw, l), _ptr(l, STATE_NW)),
+                           (guard_row(layer(p_d_n, l)), _ptr(l, STATE_N)),
+                           (layer(p_d_w, l), _ptr(l, STATE_W))])
+            rs, rp = pick([(layer(p_d_w, l), _ptr(l, STATE_W)),
+                           (guard_row(layer(p_d_n, l)), _ptr(l, STATE_N)),
+                           (layer(p_d_nw, l), _ptr(l, STATE_NW))])
+            M_d_f.append((fs, fp))
+            M_d_r.append((rs, rp))
+            fs, fp = pick([(guard_row(layer(p_n_nw, l) - boe),
+                            _ptr(l, STATE_NW)),
+                           (layer(p_n_n, l) - be, _ptr(l, STATE_N))])
+            rs, rp = pick([(layer(p_n_n, l) - be, _ptr(l, STATE_N)),
+                           (guard_row(layer(p_n_nw, l) - boe),
+                            _ptr(l, STATE_NW))])
+            M_n_f.append((fs, fp))
+            M_n_r.append((rs, rp))
+
+        def pick_pre(groups):
+            """First-strict-max over (score, ptr_plane) groups in order."""
+            s_best, p_best = groups[0]
+            for s, p in groups[1:]:
+                take = s > s_best
+                s_best = jnp.where(take, s, s_best)
+                p_best = jnp.where(take, p, p_best)
+            return s_best, p_best
+
         for k in range(4):
             msk = ms[:, k, :]
-            tok = taboo_ok[:, k, :]
-            xpk = xp[:, 0, :]
 
-            def guard(v):
-                return jnp.where(tok, v, TB)
-
-            # NW state
-            fwd, rev = [], []
-            fwd.append((layer(p_d_nw, k) + msk, _ptr(k, STATE_NW)))
-            fwd.append((guard(layer(p_d_n, k) + msk), _ptr(k, STATE_N)))
-            fwd.append((layer(p_d_w, k) + msk, _ptr(k, STATE_W)))
-            rev.append((layer(p_d_w, k) + msk, _ptr(k, STATE_W)))
-            rev.append((guard(layer(p_d_n, k) + msk), _ptr(k, STATE_N)))
-            rev.append((layer(p_d_nw, k) + msk, _ptr(k, STATE_NW)))
+            # NW state: own triple first, then other layers' maxima + xp
+            fwd = [(M_d_f[k][0] + msk, M_d_f[k][1])]
+            rev = [(M_d_r[k][0] + msk, M_d_r[k][1])]
             for l in cross_layers(k, range(4)):
-                fwd.append((layer(p_d_nw, l) + msk + xpk, _ptr(l, STATE_NW)))
-                fwd.append((guard(layer(p_d_n, l) + msk + xpk),
-                            _ptr(l, STATE_N)))
-                fwd.append((layer(p_d_w, l) + msk + xpk, _ptr(l, STATE_W)))
-                rev.append((layer(p_d_w, l) + msk + xpk, _ptr(l, STATE_W)))
-                rev.append((guard(layer(p_d_n, l) + msk + xpk),
-                            _ptr(l, STATE_N)))
-                rev.append((layer(p_d_nw, l) + msk + xpk, _ptr(l, STATE_NW)))
-            fs, fp = pick(fwd)
-            rs, rp = pick(rev)
+                fwd.append((M_d_f[l][0] + msk + xpk, M_d_f[l][1]))
+                rev.append((M_d_r[l][0] + msk + xpk, M_d_r[l][1]))
+            fs, fp = pick_pre(fwd)
+            rs, rp = pick_pre(rev)
             s_nw_l.append(jnp.where(rc[:, 0, :], rs, fs))
             p_nw_l.append(jnp.where(rc[:, 0, :], rp, fp))
 
             # N state (read char vs genome gap)
-            fwd = [(guard(layer(p_n_nw, k) - boe), _ptr(k, STATE_NW)),
-                   (layer(p_n_n, k) - be, _ptr(k, STATE_N))]
-            rev = [(layer(p_n_n, k) - be, _ptr(k, STATE_N)),
-                   (guard(layer(p_n_nw, k) - boe), _ptr(k, STATE_NW))]
+            fwd = [M_n_f[k]]
+            rev = [M_n_r[k]]
             for l in cross_layers(k, range(4)):
-                fwd.append((guard(layer(p_n_nw, l) - boe + xpk),
-                            _ptr(l, STATE_NW)))
-                fwd.append((layer(p_n_n, l) - be + xpk, _ptr(l, STATE_N)))
-                rev.append((layer(p_n_n, l) - be + xpk, _ptr(l, STATE_N)))
-                rev.append((guard(layer(p_n_nw, l) - boe + xpk),
-                            _ptr(l, STATE_NW)))
-            fs, fp = pick(fwd)
-            rs, rp = pick(rev)
+                fwd.append((M_n_f[l][0] + xpk, M_n_f[l][1]))
+                rev.append((M_n_r[l][0] + xpk, M_n_r[l][1]))
+            fs, fp = pick_pre(fwd)
+            rs, rp = pick_pre(rev)
             s_n_l.append(jnp.where(rc[:, 0, :], rs, fs))
             p_n_l.append(jnp.where(rc[:, 0, :], rp, fp))
 
             # W state (genome char vs read gap): same layer only
-            fwd = [(guard(layer(p_w_nw, k) - aoe), _ptr(k, STATE_NW)),
+            fwd = [(guard_row(layer(p_w_nw, k) - aoe), _ptr(k, STATE_NW)),
                    (layer(p_w_w, k) - ae, _ptr(k, STATE_W))]
             rev = [(layer(p_w_w, k) - ae, _ptr(k, STATE_W)),
-                   (guard(layer(p_w_nw, k) - aoe), _ptr(k, STATE_NW))]
+                   (guard_row(layer(p_w_nw, k) - aoe), _ptr(k, STATE_NW))]
             fs, fp = pick(fwd)
             rs, rp = pick(rev)
             s_w_l.append(jnp.where(rc[:, 0, :], rs, fs))
