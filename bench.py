@@ -96,9 +96,33 @@ def build_or_load_index():
     return idx, build_secs, False
 
 
+def mutate_read(seq_plus, rng, read_len=READ_LEN):
+    """The ONE bench mutation model, shared by every grid row
+    (unpaired / paired / colour-space — VERDICT r4 #8): 1 SNP +
+    1 indel (<=5bp) + 4%% per-base error, applied to a base-code
+    slice of >= read_len+5 codes; returns exactly read_len codes."""
+    r = seq_plus.copy()
+    # 1 SNP
+    q = int(rng.integers(0, read_len))
+    r[q] = (r[q] + int(rng.integers(1, 4))) % 4
+    # 1 indel <= 5bp
+    ilen = int(rng.integers(1, 6))
+    qi = int(rng.integers(5, read_len - 5))
+    if rng.random() < 0.5:
+        r = np.delete(r, slice(qi, qi + ilen))
+    else:
+        ins = rng.integers(0, 4, ilen).astype(r.dtype)
+        r = np.insert(r, qi, ins)
+    r = r[:read_len]
+    # 4% per-base error
+    err = rng.random(read_len) < 0.04
+    r[err] = (r[err] + rng.integers(1, 4, int(err.sum()))) % 4
+    return r
+
+
 def make_reads(idx, rng, n_reads):
-    """Mutated reads under the reference sensitivity condition: 1 SNP +
-    1 indel (<=5bp) + 4%% per-base error, both strands; truth recorded."""
+    """Mutated reads under the reference sensitivity condition
+    (mutate_read), both strands; truth recorded."""
     from shrimp_tpu import dna
     genome = idx.genome
     L = len(genome)
@@ -106,22 +130,7 @@ def make_reads(idx, rng, n_reads):
     truth = []
     for i in range(n_reads):
         p = int(rng.integers(0, L - READ_LEN - 8))
-        r = genome[p:p + READ_LEN + 6].copy()
-        # 1 SNP
-        q = int(rng.integers(0, READ_LEN))
-        r[q] = (r[q] + int(rng.integers(1, 4))) % 4
-        # 1 indel <= 5bp
-        ilen = int(rng.integers(1, 6))
-        qi = int(rng.integers(5, READ_LEN - 5))
-        if rng.random() < 0.5:
-            r = np.delete(r, slice(qi, qi + ilen))
-        else:
-            ins = rng.integers(0, 4, ilen).astype(np.int8)
-            r = np.insert(r, qi, ins)
-        r = r[:READ_LEN]
-        # 4% per-base error
-        err = rng.random(READ_LEN) < 0.04
-        r[err] = (r[err] + rng.integers(1, 4, int(err.sum()))) % 4
+        r = mutate_read(genome[p:p + READ_LEN + 6], rng)
         rc = bool(rng.random() < 0.5)
         if rc:
             r = dna.reverse_complement(r)

@@ -55,6 +55,30 @@ def main():
     np.save(os.path.join(outdir, "truth.npy"), truth)
     sys.stderr.write(f"wrote {rpath} ({len(reads)} reads)\n")
 
+    # paired + colour-space rows of the grid (same generators as
+    # benchmarks/bench_grid.py, same seeds -> identical FASTQ bytes on
+    # both sides of the same-host comparison)
+    import bench_grid
+    pairs, ptruth = bench_grid.make_pairs(
+        idx, np.random.default_rng(17), bench_grid.N_PAIRS)
+    for side in (0, 1):
+        ppath = os.path.join(outdir, f"reads_{side + 1}.fq")
+        with open(ppath, "w") as f:
+            for pr in pairs:
+                name, seq, qual = pr[side]
+                f.write(f"@{name}\n{seq}\n+\n{qual}\n")
+    np.save(os.path.join(outdir, "truth_pairs.npy"), ptruth)
+    sys.stderr.write(f"wrote reads_1.fq/reads_2.fq ({len(pairs)} pairs)\n")
+
+    cs_reads, cs_truth = bench_grid.make_cs_reads(
+        idx, np.random.default_rng(23), bench_grid.N_CS)
+    cpath = os.path.join(outdir, "reads_cs.fq")
+    with open(cpath, "w") as f:
+        for name, seq, qual in cs_reads:
+            f.write(f"@{name}\n{seq}\n+\n{qual}\n")
+    np.save(os.path.join(outdir, "truth_cs.npy"), cs_truth)
+    sys.stderr.write(f"wrote {cpath} ({len(cs_reads)} reads)\n")
+
 
 if __name__ == "__main__":
     main()
