@@ -170,6 +170,7 @@ void pass1_suppress_flags(const int64_t *order, long long n,
             prev_s = s;
         }
         if (saved[k]) {
+            suppressed[k] = 0;
             lg = k;
             continue;
         }
@@ -178,6 +179,9 @@ void pass1_suppress_flags(const int64_t *order, long long n,
             suppressed[k] = 1;
             continue;
         }
+        /* write 0 on every non-suppressed path so the routine is
+         * self-contained even if the caller reuses the output buffer */
+        suppressed[k] = 0;
         if (!upd[k])
             continue;
         if (scores[k] >= thr[k])

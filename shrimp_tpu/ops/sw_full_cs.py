@@ -217,6 +217,14 @@ def sw_full_cs_batch(genome_ls: jax.Array, qr4: jax.Array,
         tok_row = taboo_ok[:, 0, :]
 
         def guard_row(v):
+            # NOTE: the TB sentinel is applied BEFORE the per-k additive
+            # terms (msk / xpk below), so a taboo candidate carries
+            # TB + msk (+ xpk) rather than exactly TB.  This is a
+            # deliberate tolerance: NEG_INF's ~2^28 margin dwarfs the
+            # few-hundred-unit score offsets, so a taboo candidate can
+            # never win a state (golden CS parity tests pin this).  If
+            # NEG_INF is ever shrunk or many more penalty additions
+            # accumulate on top of a guarded value, re-derive this bound.
             return jnp.where(tok_row, v, TB)
 
         M_d_f, M_d_r, M_n_f, M_n_r = [], [], [], []

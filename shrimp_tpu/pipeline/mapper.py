@@ -154,6 +154,8 @@ def _chunk_sizes(n: int, chunk: int = PASS1_CHUNK) -> list[int]:
     batch's window count crossed a new power of two.  Single-chunk
     batches (small CLI runs) keep fine-grained buckets: they compile
     once regardless."""
+    if n == 0:
+        return []
     if n < chunk:
         return [_bucket_rows(n)]
     sizes = []
@@ -520,13 +522,15 @@ class Mapper:
                       w_len, rid, istrand, initbp_all, rb2, G, engine):
         """Resolve host-gather vs device-gather CS pass-1 once per run
         by timing both on the first production chunk (compile excluded)
-        — the CS counterpart of `_tune_pass1_path`."""
+        — the CS counterpart of `_tune_pass1_path`.  Returns the timed
+        device result (scores for rows sl) when the device path wins so
+        the caller reuses it instead of recomputing the chunk."""
         with self._stats_lock:
             if self._pass1_path is not None:
-                return
+                return None
 
             def run_dev():
-                np.asarray(dev_chunk(sl, C))
+                return np.asarray(dev_chunk(sl, C))
 
             def run_host():
                 rev = rev_all[sl]
@@ -560,13 +564,14 @@ class Mapper:
 
             run_dev()                        # compile
             t0 = time.time()
-            run_dev()
+            dev_res = run_dev()
             t_dev = time.time() - t0
             run_host()                       # compile
             t0 = time.time()
             run_host()
             t_host = time.time() - t0
             self._pass1_path = "device" if t_dev <= t_host else "host"
+            return dev_res if self._pass1_path == "device" else None
 
     def _vector_scores(self, entries, rid, st, cn, g_off_pos, w_len,
                        istrand, G: int, R: int, NB: int,
@@ -693,16 +698,17 @@ class Mapper:
             n = min(C, N - pos)
             sl = slice(pos, pos + n)
             if use_dev:
+                tuned = None
                 if self.cfg.device_pass1_gather == "auto" \
                         and self._pass1_path is None:
-                    self._tune_path_cs(_dev_chunk, sl, C, n, rev_all,
-                                       goff_f_all, cn, w_len, rid,
-                                       istrand, initbp_all, rb2, G,
-                                       engine)
+                    tuned = self._tune_path_cs(
+                        _dev_chunk, sl, C, n, rev_all, goff_f_all, cn,
+                        w_len, rid, istrand, initbp_all, rb2, G, engine)
                     if self._pass1_path == "host":
                         use_dev = False
                 if use_dev:
-                    out.append((_dev_chunk(sl, C), n))
+                    out.append((tuned if tuned is not None
+                                else _dev_chunk(sl, C), n))
                     pos += n
                     continue
             rev = rev_all[sl]

@@ -223,18 +223,21 @@ class PairedMapper(Mapper):
                 else self.default_paired_sets())
         rev1, rev2 = PAIR_REVERSE[pcfg.pair_mode]
 
-        entries1, entries2 = [], []
-        for (n1, s1, q1), (n2, s2, q2) in pairs:
-            e1 = cand.prepare_read(n1, s1, q1, cfg, self.min_seed_span)
-            e2 = cand.prepare_read(n2, s2, q2, cfg, self.min_seed_span)
-            if rev1:
-                e1.read = [e1.read[1], e1.read[0]]
-                e1.read_ls4, e1.read_ls4_rc = e1.read_ls4_rc, e1.read_ls4
-            if rev2:
-                e2.read = [e2.read[1], e2.read[0]]
-                e2.read_ls4, e2.read_ls4_rc = e2.read_ls4_rc, e2.read_ls4
-            entries1.append(e1)
-            entries2.append(e2)
+        with self.tel.stage("readparse"):
+            entries1, entries2 = [], []
+            for (n1, s1, q1), (n2, s2, q2) in pairs:
+                e1 = cand.prepare_read(n1, s1, q1, cfg, self.min_seed_span)
+                e2 = cand.prepare_read(n2, s2, q2, cfg, self.min_seed_span)
+                if rev1:
+                    e1.read = [e1.read[1], e1.read[0]]
+                    e1.read_ls4, e1.read_ls4_rc = \
+                        e1.read_ls4_rc, e1.read_ls4
+                if rev2:
+                    e2.read = [e2.read[1], e2.read[0]]
+                    e2.read_ls4, e2.read_ls4_rc = \
+                        e2.read_ls4_rc, e2.read_ls4
+                entries1.append(e1)
+                entries2.append(e2)
         if cfg.seed_qual_filter:
             # same slot-column mask regardless of mate reversal — the
             # reference's filter_qual is never reversed (mapping.c:48-51)
@@ -282,32 +285,37 @@ class PairedMapper(Mapper):
                     heavy = None
                     if mp_mode or hl_mode3:
                         if mp_ctx is None:
-                            mp_ctx = self._mp_region_ctx(
-                                entries1, entries2, live_idx, pairing)
+                            with self.tel.stage("mp_region_counts"):
+                                mp_ctx = self._mp_region_ctx(
+                                    entries1, entries2, live_idx, pairing)
                         dmn = mp_ctx["dmin"][side][:, st]
                         dmx = mp_ctx["dmax"][side][:, st]
                         own = mp_ctx["visits"][(side, st)]
                         mate = mp_ctx["visits"][(1 - side, 1 - st)]
-                    if mp_mode:
-                        ab = cb.anchors_batch(
-                            live, self.index, st,
-                            collapse=ro["collapse"],
-                            list_cutoff=self.index.list_cutoff,
-                            postings=mp_ctx["postings"][(side, st)],
-                            region_filter=lambda rid, x: cb.region_mp_filter(
-                                rid, x, own, mate, dmn, dmx, mp_mode))
-                    else:
-                        ab = cb.anchors_batch(
-                            live, self.index, st,
-                            collapse=ro["collapse"],
-                            list_cutoff=self.index.list_cutoff,
-                            use_region_counts=ro["use_region_counts"])
-                    if hl_mode3:
-                        heavy = cb.mp_heavy_flags(ab.rid, ab.x, mate,
-                                                  dmn, dmx)
-                    per.append(cb.hit_list_batch(live, self.index, ab,
-                                                 ro["hit_list"], cfg,
-                                                 heavy_mp=heavy))
+                    with self.tel.stage("anchor_list"):
+                        if mp_mode:
+                            ab = cb.anchors_batch(
+                                live, self.index, st,
+                                collapse=ro["collapse"],
+                                list_cutoff=self.index.list_cutoff,
+                                postings=mp_ctx["postings"][(side, st)],
+                                region_filter=lambda rid, x:
+                                    cb.region_mp_filter(
+                                        rid, x, own, mate, dmn, dmx,
+                                        mp_mode))
+                        else:
+                            ab = cb.anchors_batch(
+                                live, self.index, st,
+                                collapse=ro["collapse"],
+                                list_cutoff=self.index.list_cutoff,
+                                use_region_counts=ro["use_region_counts"])
+                    with self.tel.stage("hit_list"):
+                        if hl_mode3:
+                            heavy = cb.mp_heavy_flags(ab.rid, ab.x, mate,
+                                                      dmn, dmx)
+                        per.append(cb.hit_list_batch(live, self.index, ab,
+                                                     ro["hit_list"], cfg,
+                                                     heavy_mp=heavy))
                 hb = cb.HitBatch(**{
                     f: np.concatenate([getattr(h, f) for h in per])
                     for f in ("rid", "st", "cn", "g_off", "w_len",
@@ -321,10 +329,11 @@ class PairedMapper(Mapper):
                 saved_rows[side] = set()
 
             # ---- pair up hits under this set's insert range ----
-            pair_rows = self._pair_up(entries1, entries2, hits,
-                                      pcfg.pair_mode,
-                                      pairing["min_insert"],
-                                      pairing["max_insert"], alive)
+            with self.tel.stage("pair_up"):
+                pair_rows = self._pair_up(entries1, entries2, hits,
+                                          pcfg.pair_mode,
+                                          pairing["min_insert"],
+                                          pairing["max_insert"], alive)
 
             # ---- pass1 vector scores for hits participating in pairs.
             # pass1.recompute=false keeps the previous round's per-hit
@@ -332,33 +341,38 @@ class PairedMapper(Mapper):
             # list forces recomputation regardless (stale scores would be
             # uninitialized in the reference) ----
             p1_ctx: dict[int, dict | None] = {0: None, 1: None}
-            for side, entries, istrand in ((0, entries1, input_strand1),
-                                           (1, entries2, input_strand2)):
-                if (sv[side] is not None and not fresh[side]
-                        and not rsides[side].get("recompute_pass1", True)):
-                    continue
-                prev = (None if fresh[side] or sv[side] is None
-                        else (sv[side], sv_true[side]))
-                p1_ctx[side] = self._paired_pass1_begin(
-                    entries, istrand, hits[side],
-                    pair_rows[f"in_pair_{side}"], rsides[side],
-                    prev=prev, saved_rows=saved_rows[side])
-            # one device dispatch covers both mates' fresh windows
-            self._score_windows_sides([p1_ctx[0], p1_ctx[1]])
-            for side in (0, 1):
-                ctx = p1_ctx[side]
-                if ctx is None:
-                    continue
-                sv[side], sv_true[side] = (
-                    ctx["done"] if ctx["done"] is not None
-                    else self._paired_pass1_end(ctx))
+            with self.tel.stage("pass1"):
+                for side, entries, istrand in ((0, entries1, input_strand1),
+                                               (1, entries2,
+                                                input_strand2)):
+                    if (sv[side] is not None and not fresh[side]
+                            and not rsides[side].get("recompute_pass1",
+                                                     True)):
+                        continue
+                    prev = (None if fresh[side] or sv[side] is None
+                            else (sv[side], sv_true[side]))
+                    p1_ctx[side] = self._paired_pass1_begin(
+                        entries, istrand, hits[side],
+                        pair_rows[f"in_pair_{side}"], rsides[side],
+                        prev=prev, saved_rows=saved_rows[side])
+                # one device dispatch covers both mates' fresh windows
+                self._score_windows_sides([p1_ctx[0], p1_ctx[1]])
+                for side in (0, 1):
+                    ctx = p1_ctx[side]
+                    if ctx is None:
+                        continue
+                    sv[side], sv_true[side] = (
+                        ctx["done"] if ctx["done"] is not None
+                        else self._paired_pass1_end(ctx))
 
             # ---- paired vector-hit selection + paired pass2 ----
-            sel_pairs = self._select_vector_pairs(hits, sv, pair_rows, popts,
-                                                  saved_rows=saved_rows)
-            paired_final, saved, attempted = self._paired_pass2(
-                entries1, entries2, input_strand1, input_strand2,
-                hits, sv_true, sel_pairs, popts)
+            with self.tel.stage("get_vector_hits"):
+                sel_pairs = self._select_vector_pairs(
+                    hits, sv, pair_rows, popts, saved_rows=saved_rows)
+            with self.tel.stage("pass2"):
+                paired_final, saved, attempted = self._paired_pass2(
+                    entries1, entries2, input_strand1, input_strand2,
+                    hits, sv_true, sel_pairs, popts)
             saved_rows[0] |= saved[0]
             saved_rows[1] |= saved[1]
             # hit_run_full_sw re-runs the vector kernel and OVERWRITES the
@@ -391,27 +405,30 @@ class PairedMapper(Mapper):
         unpaired_final = {0: {}, 1: {}}
         if cfg.half_paired and alive.any():
             fb = self._fallback_ropts()
-            hp_ctx = [
-                self._halfpaired_begin(entries, istrand, hits[side],
-                                       sv[side], saved_rows[side], fb,
-                                       alive)
-                for side, entries, istrand in
-                ((0, entries1, input_strand1), (1, entries2,
-                                                input_strand2))]
-            # both mates' fresh windows in one device dispatch
-            self._score_windows_sides(hp_ctx)
-            for side in (0, 1):
-                unpaired_final[side] = self._halfpaired_unpaired(
-                    hp_ctx[side])
+            with self.tel.stage("hp_pass1"):
+                hp_ctx = [
+                    self._halfpaired_begin(entries, istrand, hits[side],
+                                           sv[side], saved_rows[side], fb,
+                                           alive)
+                    for side, entries, istrand in
+                    ((0, entries1, input_strand1), (1, entries2,
+                                                    input_strand2))]
+                # both mates' fresh windows in one device dispatch
+                self._score_windows_sides(hp_ctx)
+            with self.tel.stage("hp_pass2"):
+                for side in (0, 1):
+                    unpaired_final[side] = self._halfpaired_unpaired(
+                        hp_ctx[side])
 
         # ---- assemble + MQV + package ----
-        for pi in range(P):
-            pr = results[pi]
-            for side in (0, 1):
-                for fh in unpaired_final[side].get(pi, []):
-                    pr.unpaired_hits.append((side, fh))
-            if compute_mqv and cfg.compute_mapping_qualities:
-                self._paired_mqv(pr)
+        with self.tel.stage("paired_mqv"):
+            for pi in range(P):
+                pr = results[pi]
+                for side in (0, 1):
+                    for fh in unpaired_final[side].get(pi, []):
+                        pr.unpaired_hits.append((side, fh))
+                if compute_mqv and cfg.compute_mapping_qualities:
+                    self._paired_mqv(pr)
         return results
 
     # ------------------------------------------------------------------
@@ -691,6 +708,7 @@ class PairedMapper(Mapper):
         paid the device round-trip separately; combined they share both).
         tasks: list of ctx dicts from `_paired_pass1_begin`-style
         precursors with `nrows` set.  Returns per-task score arrays."""
+        import time as _time
         live = [t for t in tasks if t is not None and t["nrows"] is not None]
         if not live:
             return
@@ -699,11 +717,13 @@ class PairedMapper(Mapper):
             hb, nrows = t["hb"], t["nrows"]
             G = _round_up(max(1, int(hb.w_len[nrows].max())), 128)
             R = _round_up(max(e.read_len for e in t["entries"]), 8)
+            _t0 = _time.time()
             t["fresh"] = self._vector_scores(
                 t["entries"], hb.rid[nrows], hb.st[nrows], hb.cn[nrows],
                 hb.g_off[nrows], hb.w_len[nrows],
                 np.full(len(nrows), t["istrand"], np.int8), G, R,
                 _bucket_rows(len(nrows)))
+            self.tel.f1.secs += _time.time() - _t0
             return
         entries_comb = []
         rid_p, st_p, cn_p, goff_p, wlen_p, istr_p = [], [], [], [], [], []
@@ -721,10 +741,12 @@ class PairedMapper(Mapper):
         wlen = np.concatenate(wlen_p)
         G = _round_up(max(1, int(wlen.max())), 128)
         R = _round_up(max(e.read_len for e in entries_comb), 8)
+        _t0 = _time.time()
         out = self._vector_scores(
             entries_comb, rid, np.concatenate(st_p),
             np.concatenate(cn_p), np.concatenate(goff_p), wlen,
             np.concatenate(istr_p), G, R, _bucket_rows(len(rid)))
+        self.tel.f1.secs += _time.time() - _t0
         pos = 0
         for t in live:
             n = len(t["nrows"])
@@ -760,6 +782,15 @@ class PairedMapper(Mapper):
         eff[sup] = 0
         scores[idxs] = eff
         true_scores[idxs] = sc_true
+        # f1 accounting: freshly-scored, non-suppressed participants
+        # (read_pass1_per_strand's invocation counter; cells = glen*rlen)
+        _live = need & ~sup
+        if _live.any():
+            _rl = np.array([entries[r].read_len for r in hb.rid[idxs]],
+                           np.int64)
+            self.tel.f1.add(int(_live.sum()),
+                            int((hb.w_len[idxs][_live].astype(np.int64)
+                                 * _rl[_live]).sum()))
         return scores, true_scores
 
     def _paired_pass1(self, entries, istrand, hb, in_pair, ropts,
@@ -885,6 +916,8 @@ class PairedMapper(Mapper):
                                 np.full(N, istrand, np.int8), R)
         rev = rev_mask & cfg.rev_tiebreak
 
+        # f2 telemetry: banded cell count per row (as in _pass2_dispatch)
+        _f2_cells = None
         band_xmin = band_xmax = None
         if cfg.anchor_width >= 0:
             bx = ax - cfg.anchor_width // 2
@@ -892,12 +925,20 @@ class PairedMapper(Mapper):
             bw = aw + cfg.anchor_width
             band_xmin, band_xmax = sw_full.compute_band(bx, by, al, bw,
                                                         w_len, R)
+            _rows = np.arange(R)[None, :] < rlen[:, None]
+            _f2_cells = int(np.where(
+                _rows, band_xmax.astype(np.int64) - band_xmin + 1,
+                0).sum())
             band_xmin = _pad_rows(band_xmin, NB, 0)
             band_xmax = _pad_rows(band_xmax, NB, 0)
+        if _f2_cells is None:
+            _f2_cells = int((w_len * rlen).sum())
         gb = _pad_rows(gb, NB, sw_vector.GENOME_PAD)
         rb = _pad_rows(rb, NB, sw_vector.READ_PAD)
         rev = _pad_rows(rev, NB, False)
 
+        import time as _time
+        _t0 = _time.time()
         crossovers = None
         if cfg.colour_space:
             from shrimp_tpu.ops import sw_full_cs
@@ -931,7 +972,11 @@ class PairedMapper(Mapper):
                     local_alignment=not cfg.global_alignment,
                     band_xmin=band_xmin, band_xmax=band_xmax)
             stats = np.asarray(stats_d)[:N]
+            # LS pass2 re-runs the vector filter per foot before the
+            # scalar DP (hit_run_full_sw, mapping.c:400-415) — f1
+            self.tel.f1.add(N, int((w_len * rlen).sum()))
         ops_all = np.asarray(ops_d)[:N]
+        self.tel.f2.add(N, _f2_cells, _time.time() - _t0)
         gb_np = np.asarray(gb)
 
         out = {}
@@ -1184,6 +1229,14 @@ class PairedMapper(Mapper):
                                    saved_mask, cfg.window_overlap,
                                    wlen_cfg)
         eff[sup] = 0
+        # f1 accounting for the fallback round's fresh scores
+        _live = need & ~sup
+        if _live.any():
+            _rl = np.array([entries[r].read_len for r in hb.rid[idxs]],
+                           np.int64)
+            self.tel.f1.add(int(_live.sum()),
+                            int((hb.w_len[idxs][_live].astype(np.int64)
+                                 * _rl[_live]).sum()))
 
         # select top-k unsaved hits per read.  Selection has NO min_matches
         # gate (read_get_vector_hits, mapping.c:1540-1560): hits below

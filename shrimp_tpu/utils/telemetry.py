@@ -25,6 +25,7 @@ the batched kernel.
 from __future__ import annotations
 
 import math
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -69,17 +70,23 @@ class KernelStats:
 
 
 class StageTimer:
-    """Accumulating wall-clock stage timer (time_counter.h:8-60)."""
+    """Accumulating wall-clock stage timer (time_counter.h:8-60).
+
+    Start times are thread-local: the pipelined paired stream runs two
+    batches on worker threads, so the same named stage can be entered
+    concurrently; each thread accumulates its own interval (cumulative
+    stage seconds may exceed wall time, like summed per-thread tpg)."""
 
     def __init__(self):
         self.secs = 0.0
+        self._local = threading.local()
 
     def __enter__(self):
-        self._t0 = time.time()
+        self._local.t0 = time.time()
         return self
 
     def __exit__(self, *exc):
-        self.secs += time.time() - self._t0
+        self.secs += time.time() - self._local.t0
         return False
 
 
@@ -101,7 +108,12 @@ class Telemetry:
     fasta_load_secs: float = 0.0
 
     def stage(self, name: str) -> StageTimer:
-        return self.stages[name]
+        # auto-create: the paired pipeline adds stages beyond the base
+        # STAGES tuple (pair_up, hp_pass1, hp_pass2, paired_mqv)
+        timer = self.stages.get(name)
+        if timer is None:
+            timer = self.stages[name] = StageTimer()
+        return timer
 
 
 _TAB = "    "
