@@ -173,7 +173,8 @@ def _main():
     idx, index_secs, cached = build_or_load_index()
     if not cached:
         _RESCUE["idx"] = idx
-    mapper = Mapper(idx, MapperConfig(qual_delta=64))
+    mapper = Mapper(idx, MapperConfig(qual_delta=64,
+                                      expected_reads=N_READS))
 
     rng = np.random.default_rng(7)
     reads, truth = make_reads(idx, rng, N_READS)
@@ -247,6 +248,7 @@ def _main():
             "pass1_path": getattr(mapper, "_pass1_path", None),
             "l3_choice": getattr(mapper, "_l3_choice", None),
             "l3_reason": getattr(mapper, "_l3_reason", None),
+            "l3_model": getattr(mapper, "_l3_model", None),
             "f1_invocs": f1_invocs_run,
             "windows_per_read": round(f1_invocs_run / max(n_done, 1), 1),
             "samehost_ref": (None if samehost is None else {

@@ -33,6 +33,8 @@ def stage_detail(mapper):
         "pass1_engine": getattr(mapper, "_pass1_engine", None),
         "pass1_path": getattr(mapper, "_pass1_path", None),
         "l3_choice": getattr(mapper, "_l3_choice", None),
+        "l3_reason": getattr(mapper, "_l3_reason", None),
+        "l3_model": getattr(mapper, "_l3_model", None),
         "vector_sw_cells_per_sec": round(tel.f1.cells_per_sec),
         "scalar_sw_cells_per_sec": round(tel.f2.cells_per_sec),
     }

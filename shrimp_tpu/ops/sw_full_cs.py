@@ -60,6 +60,10 @@ def _ptr(layer, src_state):
     return 1 + layer * 3 + src_state
 
 
+def cross_layers(k, order):
+    return [l for l in order if l != k]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("params", "local_alignment", "taboo_len"))
 def sw_full_cs_batch(genome_ls: jax.Array, qr4: jax.Array,
@@ -147,9 +151,6 @@ def sw_full_cs_batch(genome_ls: jax.Array, qr4: jax.Array,
             s_best = jnp.where(take, s, s_best)
             p_best = jnp.where(take, p, p_best)
         return s_best, p_best
-
-    def cross_layers(k, order):
-        return [l for l in order if l != k]
 
     def step(carry, d):
         (nw_d1, nw_d2, n_d1, n_d2, w_d1, w_d2, gdiag,
@@ -374,6 +375,466 @@ def sw_full_cs_batch(genome_ls: jax.Array, qr4: jax.Array,
                                jnp.arange(n_diag, dtype=jnp.int32))
     (_, _, _, _, _, _, _, best, best_i, best_j, best_k, best_states) = carry
     return best, best_i, best_j, best_k, best_states, bits
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "local_alignment",
+                                    "taboo_len", "W"))
+def sw_full_cs_batch_packed(genome_ls: jax.Array, qr4: jax.Array,
+                            xover_row: jax.Array, revcmpl: jax.Array,
+                            band_xmin: jax.Array, band_xmax: jax.Array,
+                            params: SWParams = SWParams(),
+                            local_alignment: bool = True,
+                            taboo_len: int = 0,
+                            W: int = 32):
+    """Band-packed form of `sw_full_cs_batch` — bit-identical results.
+
+    The banded 4-layer DP (sw-full-cs.c:327 banded row loop, README
+    "necks":1415-1422) only has live cells at columns j in
+    [band_xmin[i], band_xmax[i]]; this kernel stores row i in packed
+    coordinates u = j - band_xmin[i] with static width W, scanning READ
+    ROWS (R steps over [B, 4, W] planes) instead of anti-diagonals
+    (G+R-1 steps over [B, 4, R]) — the CS port of
+    `ops/sw_full.py::sw_full_batch_packed`.
+
+    The port is possible because the W state (genome char vs read gap)
+    accepts same-layer predecessors only ("it doesn't make sense to
+    cross over on a genomic gap", sw-full-cs.c:535-538): the within-row
+    recurrence W_k[j] = max(NW_k[j-1]-aoe, W_k[j-1]-ae) collapses into
+    one tilted cummax PER LAYER over the floored NW row.  The layer
+    floor (0 for k=0, the row's crossover penalty for k>0) is a row
+    constant, so the LS exactness argument carries over unchanged: any
+    path through a floored intermediate only decays (-ae < 0) and ends
+    at or below the floor, which the final per-layer floor restores;
+    pointers are recomputed per cell from the exact predecessor values.
+    Cross-layer candidates exist only in the NW and N states, whose
+    predecessors all live in the PREVIOUS row — plain shifted planes.
+
+    Returns (score[B], best_i[B], best_j[B], best_k[B], states[B, 3],
+    bits uint16 [R, B, 4, W]) with bits[i, b, k, j - band_xmin[b, i]]
+    for cell (i, j, k).
+    """
+    genome_ls = genome_ls.astype(jnp.int32)
+    qr4 = qr4.astype(jnp.int32)
+    B, G = genome_ls.shape
+    _, _, R = qr4.shape
+    rc2 = revcmpl.astype(bool)[:, None]                    # [B, 1]
+    rc3 = revcmpl.astype(bool)[:, None, None]              # [B, 1, 1]
+    loc = bool(local_alignment)
+
+    m = jnp.int32(params.match)
+    x = jnp.int32(params.mismatch)
+    aoe = jnp.int32(-(params.a_gap_open + params.a_gap_extend))
+    ae = jnp.int32(-params.a_gap_extend)
+    boe = jnp.int32(-(params.b_gap_open + params.b_gap_extend))
+    be = jnp.int32(-params.b_gap_extend)
+    a_go = jnp.int32(params.a_gap_open)                    # negative
+    b_go = jnp.int32(params.b_gap_open)
+    gxp = jnp.int32(params.crossover)
+
+    rlen = jnp.sum(qr4[:, 0, :] >= 0, axis=1)              # [B]
+    glen = jnp.sum(genome_ls >= 0, axis=1)
+
+    uu = jnp.arange(W, dtype=jnp.int32)[None, :]           # [1, W]
+    genome_p = jnp.pad(genome_ls, ((0, 0), (0, W + 1)),
+                       constant_values=GENOME_PAD)
+    tilt = ae * jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    k4 = jnp.arange(4, dtype=jnp.int32)[None, :]           # [1, 4]
+    # virtual row -1: local-style init with the GLOBAL crossover
+    # (sw-full-cs.c:266-268)
+    top_nw = jnp.where(k4 == 0, 0, gxp).astype(jnp.int32)  # [1, 4]
+    top_n = b_go + top_nw
+    top_w = a_go + top_nw
+    TB = jnp.int32(NEG_INF)
+
+    SHIFT_PAD = 2
+    while SHIFT_PAD < G:
+        SHIFT_PAD <<= 1
+
+    def shift_rows(P, d, border):
+        """out[b, u] = P[b, u + d[b]] for d[b] >= 0, border beyond the
+        right edge (log-decomposed static shifts — see sw_full.py)."""
+        Wp_ = P.shape[1]
+        if getattr(border, "ndim", 0):
+            fill = jnp.broadcast_to(border, (P.shape[0], SHIFT_PAD))
+        else:
+            fill = jnp.full((P.shape[0], SHIFT_PAD), border, P.dtype)
+        ext = jnp.concatenate([P, fill.astype(P.dtype)], axis=1)
+        dd = jnp.clip(d, 0, SHIFT_PAD - 1)
+        k = SHIFT_PAD >> 1
+        while k:
+            shifted = jnp.concatenate(
+                [ext[:, k:], fill[:, :k].astype(P.dtype)], axis=1)
+            ext = jnp.where((dd & k) != 0, shifted, ext)
+            k >>= 1
+        return ext[:, :Wp_]
+
+    def pick(cands):
+        """First-strict-max over ordered (score [B, W], ptr int) pairs."""
+        s_best, p = cands[0]
+        p_best = jnp.full_like(s_best, p)
+        for s, p in cands[1:]:
+            take = s > s_best
+            s_best = jnp.where(take, s, s_best)
+            p_best = jnp.where(take, p, p_best)
+        return s_best, p_best
+
+    def pick_pre(groups):
+        """First-strict-max over (score, ptr_plane) groups in order."""
+        s_best, p_best = groups[0]
+        for s, p in groups[1:]:
+            take = s > s_best
+            s_best = jnp.where(take, s, s_best)
+            p_best = jnp.where(take, p, p_best)
+        return s_best, p_best
+
+    def step(carry, xs):
+        (nw_p, n_p, w_p, xmin_p, best, best_i, best_j, best_k,
+         best_states, i) = carry
+        xmin_c, xmax_c, rchar4, xp_c, xp_p = xs
+        at_i0 = i == 0
+        d = jnp.where(at_i0, 0, xmin_c - xmin_p)[:, None]  # [B, 1]
+
+        # per-layer border values: current row (init_cell,
+        # sw-full-cs.c:199-243) and previous row (diagonal preds)
+        ie_c = jnp.where(k4 == 0, 0, xp_c[:, None])        # [B, 4]
+        ie_p = jnp.where(k4 == 0, 0, xp_p[:, None])
+        if loc:
+            col_nw, col_n, col_w = ie_c, b_go + ie_c, a_go + ie_c
+            cm1_nw, cm1_n, cm1_w = ie_p, b_go + ie_p, a_go + ie_p
+        else:
+            neg = jnp.full((B, 4), NEG_INF, jnp.int32)
+            col_nw = col_n = col_w = neg
+            cm1_nw = cm1_n = cm1_w = neg
+
+        # previous-row planes in current-packed coordinates: one stacked
+        # [12B, W] shift; the prepended border column makes out[:, :W]
+        # the diagonal preds (u+d-1) and out[:, 1:] the north preds (u+d)
+        T = jnp.concatenate([nw_p.reshape(4 * B, W),
+                             n_p.reshape(4 * B, W),
+                             w_p.reshape(4 * B, W)], axis=0)
+        bor12 = jnp.concatenate([cm1_nw.reshape(4 * B, 1),
+                                 cm1_n.reshape(4 * B, 1),
+                                 cm1_w.reshape(4 * B, 1)], axis=0)
+        d12 = jnp.tile(jnp.repeat(d, 4, axis=0), (3, 1))
+        S = shift_rows(jnp.concatenate([bor12, T], axis=1), d12, bor12)
+        S_d, S_n = S[:, :W], S[:, 1:]
+        p_d_nw = S_d[:4 * B].reshape(B, 4, W)
+        p_d_n = S_d[4 * B:8 * B].reshape(B, 4, W)
+        p_d_w = S_d[8 * B:].reshape(B, 4, W)
+        p_n_nw = S_n[:4 * B].reshape(B, 4, W)
+        p_n_n = S_n[4 * B:8 * B].reshape(B, 4, W)
+        # virtual row -1 overrides every border at i == 0
+        t_nw = jnp.broadcast_to(top_nw[:, :, None], (B, 4, W))
+        t_n = jnp.broadcast_to(top_n[:, :, None], (B, 4, W))
+        t_w = jnp.broadcast_to(top_w[:, :, None], (B, 4, W))
+        p_d_nw = jnp.where(at_i0, t_nw, p_d_nw)
+        p_d_n = jnp.where(at_i0, t_n, p_d_n)
+        p_d_w = jnp.where(at_i0, t_w, p_d_w)
+        p_n_nw = jnp.where(at_i0, t_nw, p_n_nw)
+        p_n_n = jnp.where(at_i0, t_n, p_n_n)
+
+        jj = xmin_c[:, None] + uu                          # [B, W]
+        gchar = shift_rows(genome_p, xmin_c[:, None],
+                           jnp.int32(GENOME_PAD))[:, :W]
+        g3 = gchar[:, None, :]
+        q3 = rchar4[:, :, None]
+        ms = jnp.where((g3 == BASE_N) | (q3 == BASE_N), 0,
+                       jnp.where(g3 == q3, m, x))          # [B, 4, W]
+
+        tok = (i < rlen - taboo_len)[:, None]              # [B, 1]
+
+        def guard_row(v):
+            # same sentinel tolerance as the full kernel's guard_row
+            return jnp.where(tok, v, TB)
+
+        def layer(arr, l):
+            return arr[:, l, :]
+
+        # hierarchical first-strict-max (see the full kernel): shared
+        # per-source-layer maxima, then per-destination 6-picks
+        M_d_f, M_d_r, M_n_f, M_n_r = [], [], [], []
+        for l in range(4):
+            fs, fp = pick([(layer(p_d_nw, l), _ptr(l, STATE_NW)),
+                           (guard_row(layer(p_d_n, l)), _ptr(l, STATE_N)),
+                           (layer(p_d_w, l), _ptr(l, STATE_W))])
+            rs, rp = pick([(layer(p_d_w, l), _ptr(l, STATE_W)),
+                           (guard_row(layer(p_d_n, l)), _ptr(l, STATE_N)),
+                           (layer(p_d_nw, l), _ptr(l, STATE_NW))])
+            M_d_f.append((fs, fp))
+            M_d_r.append((rs, rp))
+            fs, fp = pick([(guard_row(layer(p_n_nw, l) - boe),
+                            _ptr(l, STATE_NW)),
+                           (layer(p_n_n, l) - be, _ptr(l, STATE_N))])
+            rs, rp = pick([(layer(p_n_n, l) - be, _ptr(l, STATE_N)),
+                           (guard_row(layer(p_n_nw, l) - boe),
+                            _ptr(l, STATE_NW))])
+            M_n_f.append((fs, fp))
+            M_n_r.append((rs, rp))
+
+        xpk = xp_c[:, None]                                # [B, 1]
+        s_nw_l, p_nw_l, s_n_l, p_n_l, s_w_l, p_w_l = [], [], [], [], [], []
+        for k in range(4):
+            msk = ms[:, k, :]
+            reset = ie_c[:, k][:, None]                    # [B, 1]
+
+            # --- NW state ---
+            fwd = [(M_d_f[k][0] + msk, M_d_f[k][1])]
+            rev = [(M_d_r[k][0] + msk, M_d_r[k][1])]
+            for l in cross_layers(k, range(4)):
+                fwd.append((M_d_f[l][0] + msk + xpk, M_d_f[l][1]))
+                rev.append((M_d_r[l][0] + msk + xpk, M_d_r[l][1]))
+            fs, fp = pick_pre(fwd)
+            rs, rp = pick_pre(rev)
+            s_nw = jnp.where(rc2, rs, fs)
+            p_nw = jnp.where(rc2, rp, fp)
+            if loc:
+                z = s_nw <= reset
+                s_nw = jnp.where(z, reset, s_nw)
+                p_nw = jnp.where(z, 0, p_nw)
+
+            # --- N state ---
+            fwd = [M_n_f[k]]
+            rev = [M_n_r[k]]
+            for l in cross_layers(k, range(4)):
+                fwd.append((M_n_f[l][0] + xpk, M_n_f[l][1]))
+                rev.append((M_n_r[l][0] + xpk, M_n_r[l][1]))
+            fs, fp = pick_pre(fwd)
+            rs, rp = pick_pre(rev)
+            s_n = jnp.where(rc2, rs, fs)
+            p_n = jnp.where(rc2, rp, fp)
+            if loc:
+                z = s_n <= reset
+                s_n = jnp.where(z, reset, s_n)
+                p_n = jnp.where(z, 0, p_n)
+
+            # --- W state: per-layer tilted cummax over the floored NW
+            # row (taboo rows exclude every gap-open candidate, leaving
+            # only the border-W extension chain) ---
+            c_nw_k = col_nw[:, k][:, None]
+            c_w_k = col_w[:, k][:, None]
+            cand = jnp.concatenate([c_nw_k, s_nw], axis=1)  # [B, W+1]
+            cand = jnp.where(tok, cand, TB)
+            run = jax.lax.cummax(cand + tilt, axis=1)
+            chain = run[:, :-1] - aoe - ae * uu
+            w_border = c_w_k - ae * (uu + 1)
+            s_w = jnp.maximum(chain, w_border)
+            w_floored = jnp.maximum(s_w, reset) if loc else s_w
+            nw_west = jnp.concatenate([c_nw_k, s_nw[:, :-1]], axis=1)
+            w_west = jnp.concatenate([c_w_k, w_floored[:, :-1]], axis=1)
+            cd_nw = jnp.where(tok, nw_west - aoe, TB)
+            cd_w = w_west - ae
+            p_w_f = jnp.where(cd_nw >= cd_w,
+                              jnp.int32(_ptr(k, STATE_NW)),
+                              jnp.int32(_ptr(k, STATE_W)))
+            p_w_r = jnp.where(cd_w >= cd_nw,
+                              jnp.int32(_ptr(k, STATE_W)),
+                              jnp.int32(_ptr(k, STATE_NW)))
+            p_w = jnp.where(rc2, p_w_r, p_w_f)
+            if loc:
+                z = s_w <= reset
+                s_w = jnp.where(z, reset, s_w)
+                p_w = jnp.where(z, 0, p_w)
+
+            s_nw_l.append(s_nw)
+            p_nw_l.append(p_nw)
+            s_n_l.append(s_n)
+            p_n_l.append(p_n)
+            s_w_l.append(s_w)
+            p_w_l.append(p_w)
+
+        s_nw = jnp.stack(s_nw_l, axis=1)                   # [B, 4, W]
+        p_nw = jnp.stack(p_nw_l, axis=1)
+        s_n = jnp.stack(s_n_l, axis=1)
+        p_n = jnp.stack(p_n_l, axis=1)
+        s_w = jnp.stack(s_w_l, axis=1)
+        p_w = jnp.stack(p_w_l, axis=1)
+
+        # --- band-width + grid masking to the row border values (the
+        # full kernel's to_border semantics for out-of-band/invalid) ---
+        in_band = (uu <= (xmax_c - xmin_c)[:, None])       # [B, W]
+        valid = in_band & (jj < glen[:, None]) & (i < rlen[:, None])
+        outside = ~valid[:, None, :]                       # [B, 1, W]
+        if loc:
+            s_nw = jnp.where(outside, col_nw[:, :, None], s_nw)
+            s_n = jnp.where(outside, col_n[:, :, None], s_n)
+            s_w = jnp.where(outside, col_w[:, :, None], s_w)
+        else:
+            s_nw = jnp.where(outside, NEG_INF, s_nw)
+            s_n = jnp.where(outside, NEG_INF, s_n)
+            s_w = jnp.where(outside, NEG_INF, s_w)
+        p_nw = jnp.where(outside, 0, p_nw)
+        p_n = jnp.where(outside, 0, p_n)
+        p_w = jnp.where(outside, 0, p_w)
+
+        # --- best tracking: rows in order == row-major first-strict-max
+        # over (i, j, k); layer reduce first (smaller k), then slot
+        # (smaller u = smaller j) ---
+        cs0 = jnp.where(rc3, s_w, s_nw)
+        cs2 = jnp.where(rc3, s_nw, s_w)
+        cell = jnp.maximum(jnp.maximum(cs0, s_n), cs2)
+        eligible = (valid[:, None, :] if loc
+                    else valid[:, None, :] & (i == rlen[:, None, None] - 1))
+        cell = jnp.where(eligible, cell, NEG_INF)
+        lane_best_k = jnp.argmax(cell, axis=1).astype(jnp.int32)
+        cell_bk = jnp.max(cell, axis=1)                    # [B, W]
+        row_best = jnp.max(cell_bk, axis=1)
+        slot = jnp.argmax(cell_bk, axis=1).astype(jnp.int32)
+        cand_k = jnp.take_along_axis(lane_best_k, slot[:, None],
+                                     axis=1)[:, 0]
+        improved = row_best > best
+        best = jnp.where(improved, row_best, best)
+        best_i = jnp.where(improved, i, best_i)
+        best_j = jnp.where(improved, xmin_c + slot, best_j)
+        best_k = jnp.where(improved, cand_k, best_k)
+        sel = (jnp.arange(B), cand_k, slot)
+        cand_states = jnp.stack([s_nw[sel], s_n[sel], s_w[sel]], axis=1)
+        best_states = jnp.where(improved[:, None], cand_states,
+                                best_states)
+
+        bits = (p_nw | (p_n << 4) | (p_w << 8)).astype(jnp.uint16)
+        return (s_nw, s_n, s_w, xmin_c, best, best_i, best_j, best_k,
+                best_states, i + 1), bits
+
+    plane = lambda: jnp.full((B, 4, W), NEG_INF, jnp.int32)
+    zeros = jnp.zeros(B, jnp.int32)
+    carry0 = (plane(), plane(), plane(), zeros, zeros, zeros, zeros,
+              zeros, jnp.zeros((B, 3), jnp.int32), jnp.int32(0))
+    xp_all = xover_row.astype(jnp.int32)
+    xp_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), xp_all[:, :-1]], axis=1)
+    xs = (band_xmin.astype(jnp.int32).T, band_xmax.astype(jnp.int32).T,
+          qr4.transpose(2, 0, 1), xp_all.T, xp_prev.T)
+    carry, bits = jax.lax.scan(step, carry0, xs)
+    (_, _, _, _, best, best_i, best_j, best_k, best_states, _) = carry
+    return best, best_i, best_j, best_k, best_states, bits
+
+
+@jax.jit
+def traceback_cs_batch_packed_jax(bits: jax.Array, band_xmin: jax.Array,
+                                  bi: jax.Array, bj: jax.Array,
+                                  bk: jax.Array, states: jax.Array,
+                                  genome_ls: jax.Array, qr4: jax.Array,
+                                  score: jax.Array):
+    """On-device traceback over the packed (R, B, 4, W) bits plane; cell
+    (i, j, k) lives at bits[i, b, k, j - band_xmin[b, i]].  Same walk
+    and outputs as `traceback_cs_batch_jax`."""
+    R_, B, _, W = bits.shape
+    G = genome_ls.shape[1]
+    max_steps = R_ + G
+    lanes = jnp.arange(B)
+    xmin = band_xmin.astype(jnp.int32)
+
+    s_nw, s_n, s_w = states[:, 0], states[:, 1], states[:, 2]
+    state = jnp.full(B, STATE_NW, jnp.int32)
+    best = s_nw
+    take = s_w > best
+    state = jnp.where(take, STATE_W, state)
+    best = jnp.where(take, s_w, best)
+    state = jnp.where(s_n > best, STATE_N, state)
+
+    genome32 = genome_ls.astype(jnp.int32)
+    qr32 = qr4.astype(jnp.int32)
+
+    def step(carry, _):
+        (i, j, k, st, active, rs, gs, mt, mm, ins, dl, xo, nops) = carry
+        ii = jnp.clip(i, 0, R_ - 1)
+        jj = jnp.clip(j, 0, G - 1)
+        # out-of-band predecessors carry pointer 0 in the full-grid
+        # plane (walk stops) — replicate outside the packed band
+        u_raw = jj - xmin[lanes, ii]
+        inb = (u_raw >= 0) & (u_raw < W)
+        cell = jnp.where(
+            inb, bits[ii, lanes, k, jnp.clip(u_raw, 0, W - 1)],
+            jnp.uint16(0)).astype(jnp.int32)
+        ptr = jnp.where(st == STATE_NW, cell & 15,
+                        jnp.where(st == STATE_N, (cell >> 4) & 15,
+                                  (cell >> 8) & 15))
+        step_active = active & (ptr != 0)
+        src_layer = (ptr - 1) // 3
+        src_state = (ptr - 1) % 3
+
+        is_nw = step_active & (st == STATE_NW)
+        is_n = step_active & (st == STATE_N)
+        is_w = step_active & (st == STATE_W)
+        xover = step_active & (src_layer != k)
+
+        gch = genome32[lanes, jj]
+        qch = qr32[lanes, k, ii]
+        eq = (gch == qch) | (gch == BASE_N) | (qch == BASE_N)
+        mt = mt + (is_nw & eq)
+        mm = mm + (is_nw & ~eq)
+        dl = dl + is_n
+        ins = ins + is_w
+        xo = xo + xover
+        rs = jnp.where(is_nw | is_n, i, rs)
+        gs = jnp.where(is_nw | is_w, j, gs)
+
+        op = (jnp.where(is_n, OP_DEL, jnp.where(is_w, OP_INS, OP_MATCH))
+              | (k << 2)
+              | jnp.where(xover, OP_XOVER, 0)).astype(jnp.uint8)
+        nops = nops + step_active
+
+        i = i - (is_nw | is_n)
+        j = j - (is_nw | is_w)
+        k = jnp.where(step_active, src_layer, k)
+        st = jnp.where(step_active, src_state, st)
+        active = step_active & (i >= 0) & (j >= 0)
+        return (i, j, k, st, active, rs, gs, mt, mm, ins, dl, xo, nops), op
+
+    zeros = jnp.zeros(B, jnp.int32)
+    carry0 = (bi.astype(jnp.int32), bj.astype(jnp.int32),
+              bk.astype(jnp.int32), state, score > 0,
+              zeros, zeros, zeros, zeros, zeros, zeros, zeros, zeros)
+    (i, j, k, st, active, rs, gs, mt, mm, ins, dl, xo,
+     nops), ops_steps = jax.lax.scan(step, carry0, None, length=max_steps)
+    ops = ops_steps.T
+
+    kidx = jnp.arange(max_steps)[None, :]
+    src = jnp.clip(nops[:, None] - 1 - kidx, 0, max_steps - 1)
+    ops_rev = jnp.take_along_axis(ops, src, axis=1)
+    ops_rev = jnp.where(kidx < nops[:, None], ops_rev, 0).astype(jnp.uint8)
+
+    final_x = (k != 0) & (nops > 0)
+    first = ops_rev[:, 0] | jnp.where(final_x, OP_XOVER, 0).astype(jnp.uint8)
+    ops_rev = jnp.concatenate([first[:, None], ops_rev[:, 1:]], axis=1)
+    xo = xo + final_x
+
+    return {
+        "read_start": rs, "genome_start": gs,
+        "matches": mt, "mismatches": mm,
+        "insertions": ins, "deletions": dl, "crossovers": xo,
+        "rmapped": mt + mm + dl, "gmapped": mt + mm + ins,
+        "ops": ops_rev, "ops_len": nops,
+    }
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "local_alignment",
+                                    "taboo_len", "W"))
+def sw_full_cs_and_traceback_packed_jax(genome_ls: jax.Array,
+                                        qr4: jax.Array,
+                                        xover_row: jax.Array,
+                                        revcmpl: jax.Array,
+                                        band_xmin: jax.Array,
+                                        band_xmax: jax.Array,
+                                        params: SWParams = SWParams(),
+                                        local_alignment: bool = True,
+                                        taboo_len: int = 0,
+                                        W: int = 32):
+    """Band-packed CS DP + traceback in one dispatch; same (stats, ops)
+    contract as `sw_full_cs_and_traceback_jax`, bit-identical outputs."""
+    score, bi, bj, bk, states, bits = sw_full_cs_batch_packed(
+        genome_ls, qr4, xover_row, revcmpl, band_xmin, band_xmax,
+        params, local_alignment, taboo_len, W)
+    tb = traceback_cs_batch_packed_jax(bits, band_xmin, bi, bj, bk,
+                                       states, genome_ls, qr4, score)
+    stats = jnp.stack([
+        score, tb["read_start"], tb["genome_start"], tb["matches"],
+        tb["mismatches"], tb["insertions"], tb["deletions"], tb["rmapped"],
+        tb["gmapped"], tb["ops_len"], tb["crossovers"]], axis=1
+    ).astype(jnp.int32)
+    return stats, tb["ops"]
 
 
 @jax.jit

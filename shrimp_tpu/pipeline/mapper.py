@@ -289,6 +289,7 @@ class Mapper:
         self._dev_l3_a2_cap = self.DEVICE_L3_A2_CAP
         self._l3_choice = None          # auto-tune result ("device"/"host")
         self._l3_reason = None          # why, when decided without timing
+        self._l3_model = None           # amortization-model inputs (JSON)
         self._pass1_engine = None       # auto-tune result (PASS1_ENGINES)
         self._pass1_path = None         # auto-tune result ("device"/"host")
         # the pipelined streams run two batches on worker threads; counter
@@ -972,6 +973,9 @@ class Mapper:
             self.cfg.device_candidates = saved
         t_host = (time.time() - t0) * (len(entries) / max(len(sub), 1))
         self._l3_choice = "device" if t_dev < t_host else "host"
+        if self._l3_model is not None:   # measured verdict for the JSON
+            self._l3_model["t_dev_batch"] = round(t_dev, 3)
+            self._l3_model["t_host_batch"] = round(t_host, 3)
         return self._l3_choice == "device"
 
     def _device_l3_ok(self, entries, opts) -> bool:
@@ -990,20 +994,57 @@ class Mapper:
         # no region-table size gate: past DENSE_REGION_TABLE_MAX entries
         # the kernel switches to the sparse sort formulation, so Gbp
         # genomes stay eligible (VERDICT r2 #3) — but the one-time CSR
-        # ship to HBM must fit the transfer budget (device_l3 is decided
-        # per run; shipping a 12 GB Gbp index through a ~90 MB/s tunnel
-        # would stall the first batch for minutes)
+        # ship to HBM must amortize.  Past the immediate budget the
+        # decision becomes a lazy ski-rental crossover (VERDICT r4 #3):
+        # ship once the host-L3 seconds already spent (or projected from
+        # an expected_reads hint) exceed the estimated ship cost times
+        # the amortize factor — a one-time ship then pays for itself on
+        # any sufficiently long run.
         if self.cfg.device_candidates != True:  # noqa: E712  ("auto")
             ship_bytes = 4 * sum(
                 len(self.index.positions[sn]) + len(self.index.offsets[sn])
                 for sn in range(len(self.index.offsets)))
             est = ship_bytes / self._ship_bandwidth()
-            if est > self.cfg.device_l3_ship_budget_secs:
+            spent = (self.tel.stages["anchor_list"].secs
+                     + self.tel.stages["hit_list"].secs)
+            self._l3_model = {
+                "ship_bytes": ship_bytes,
+                "ship_est_secs": round(est, 2),
+                "host_l3_secs_spent": round(spent, 2),
+                "amortize_factor": self.cfg.device_l3_amortize_factor,
+            }
+            if ship_bytes > self.cfg.device_l3_hbm_budget_bytes:
                 self._l3_choice = "host"
-                self._l3_reason = (f"index ship ~{est:.0f}s exceeds "
-                                   f"{self.cfg.device_l3_ship_budget_secs:g}s"
-                                   " budget")
+                self._l3_reason = (
+                    f"postings {ship_bytes / 1e9:.1f}GB exceed "
+                    f"{self.cfg.device_l3_hbm_budget_bytes / 1e9:.0f}GB "
+                    "HBM residency budget")
                 return False
+            if est > self.cfg.device_l3_ship_budget_secs:
+                bar = est * self.cfg.device_l3_amortize_factor
+                reads_seen = self.stats["reads"]
+                if self.cfg.expected_reads and reads_seen:
+                    per_read = spent / reads_seen
+                    projected = per_read * float(self.cfg.expected_reads)
+                    self._l3_model["host_l3_secs_projected"] = \
+                        round(projected, 2)
+                    if projected < bar:
+                        # enough batches measured -> the projection is
+                        # stable; make the verdict permanent
+                        if reads_seen >= 4096:
+                            self._l3_choice = "host"
+                        self._l3_reason = (
+                            f"projected host L3 {projected:.1f}s over "
+                            f"{self.cfg.expected_reads} reads < "
+                            f"{bar:.0f}s amortized ship")
+                        return False
+                elif spent < bar:
+                    self._l3_reason = (
+                        f"deferred ship: host L3 spent {spent:.1f}s < "
+                        f"{bar:.0f}s (ski-rental crossover, "
+                        f"ship ~{est:.0f}s)")
+                    return False
+                self._l3_reason = None   # crossover reached: ship below
         return True
 
     def _ship_bandwidth(self) -> float:
@@ -1024,7 +1065,11 @@ class Mapper:
         whole-batch host fallback on capacity overflow (counted)."""
         from shrimp_tpu.ops import candidates_device as cdv
         if self._dev_l3 is None:
+            _t0 = time.time()
             self._dev_l3 = cdv.DeviceL3Index.from_host(self.index)
+            if self._l3_model is not None:
+                self._l3_model["ship_secs_actual"] = \
+                    round(time.time() - _t0, 2)
         B = len(entries)
         NB = _bucket_rows(B, lo=256)
         R = _round_up(max(e.read_len for e in entries), 16)
@@ -1504,11 +1549,24 @@ class Mapper:
                     xover[n, :e.read_len] = e.crossover_score
             qr4 = _pad_rows(qr4, NB, sw_vector.READ_PAD)
             xover = _pad_rows(xover, NB, cfg.params.crossover)
-            stats_d, ops_d = sw_full_cs.sw_full_cs_and_traceback_jax(
-                gb, qr4, xover, rev, cfg.params,
-                local_alignment=not cfg.global_alignment,
-                taboo_len=cfg.indel_taboo_len,
-                band_xmin=band_xmin, band_xmax=band_xmax)
+            Wp = (_round_up(int((band_xmax - band_xmin).max()) + 1, 32)
+                  if band_xmin is not None else None)
+            if Wp is not None and Wp < G:
+                # band-packed 4-layer DP: R-step row scan over [B, 4, W]
+                # planes instead of G+R-1 diagonals over [B, 4, R]
+                # (sw-full-cs.c:327 banded row loop, "necks")
+                stats_d, ops_d = \
+                    sw_full_cs.sw_full_cs_and_traceback_packed_jax(
+                        gb, qr4, xover, rev, band_xmin, band_xmax,
+                        cfg.params,
+                        local_alignment=not cfg.global_alignment,
+                        taboo_len=cfg.indel_taboo_len, W=Wp)
+            else:
+                stats_d, ops_d = sw_full_cs.sw_full_cs_and_traceback_jax(
+                    gb, qr4, xover, rev, cfg.params,
+                    local_alignment=not cfg.global_alignment,
+                    taboo_len=cfg.indel_taboo_len,
+                    band_xmin=band_xmin, band_xmax=band_xmax)
         else:
             qr4 = None
             Wp = (_round_up(int((band_xmax - band_xmin).max()) + 1, 32)

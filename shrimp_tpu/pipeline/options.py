@@ -126,6 +126,19 @@ class MapperConfig:
     # (minutes of stall) stays on the native host path.  True forces the
     # ship regardless.
     device_l3_ship_budget_secs: float = 15.0
+    # Deferred-ship amortization (VERDICT r4 #3): past the immediate
+    # budget the index still ships LAZILY, once the measured host-L3
+    # seconds spent (ski-rental) — or the projection from an
+    # expected_reads hint — exceed ship_est * this factor.  The one-time
+    # ship then pays for itself on any sufficiently long run.
+    device_l3_amortize_factor: float = 1.5
+    # resident CSR postings must fit in HBM next to the genome plane and
+    # the pass-1/pass-2 working buffers; larger indexes stay on the host
+    device_l3_hbm_budget_bytes: float = 10e9
+    # optional workload-size hint (total reads this run will map, e.g.
+    # from the CLI counting a seekable FASTQ): enables the crossover
+    # decision at the FIRST batch instead of waiting for ski-rental
+    expected_reads: object = None
     # LS pass1 on-device window gather from the resident genome plane:
     # cuts per-batch host->device bytes ~20x AND replaces the host-side
     # window materialization with per-row HBM DMA (vmapped dynamic_slice;

@@ -951,11 +951,22 @@ class PairedMapper(Mapper):
                     xover[k, :e.read_len] = e.crossover_score
             qr4 = _pad_rows(qr4, NB, sw_vector.READ_PAD)
             xover = _pad_rows(xover, NB, cfg.params.crossover)
-            stats_d, ops_d = sw_full_cs.sw_full_cs_and_traceback_jax(
-                gb, qr4, xover, rev, cfg.params,
-                local_alignment=not cfg.global_alignment,
-                taboo_len=cfg.indel_taboo_len,
-                band_xmin=band_xmin, band_xmax=band_xmax)
+            Wp = (_round_up(int((band_xmax - band_xmin).max()) + 1, 32)
+                  if band_xmin is not None else None)
+            if Wp is not None and Wp < G:
+                # band-packed 4-layer DP (see mapper._pass2_dispatch)
+                stats_d, ops_d = \
+                    sw_full_cs.sw_full_cs_and_traceback_packed_jax(
+                        gb, qr4, xover, rev, band_xmin, band_xmax,
+                        cfg.params,
+                        local_alignment=not cfg.global_alignment,
+                        taboo_len=cfg.indel_taboo_len, W=Wp)
+            else:
+                stats_d, ops_d = sw_full_cs.sw_full_cs_and_traceback_jax(
+                    gb, qr4, xover, rev, cfg.params,
+                    local_alignment=not cfg.global_alignment,
+                    taboo_len=cfg.indel_taboo_len,
+                    band_xmin=band_xmin, band_xmax=band_xmax)
             stats = np.asarray(stats_d)[:N]
             crossovers = stats[:, 10]
         else:

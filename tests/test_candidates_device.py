@@ -170,3 +170,104 @@ def test_device_matches_host_sparse_regions(st):
     cols, n = run_device(idx, cfg, entries, st, opts,
                          use_regions=True, dense_region_cap=0)
     assert_match(hb, cols, n, st)
+
+
+# ---------------------------------------------------------------------------
+# Deferred-ship amortization gate (VERDICT r4 #3): past the immediate
+# ship budget the index ships lazily at the ski-rental crossover (or by
+# the expected_reads projection), and the verdict is decided by timing.
+# ---------------------------------------------------------------------------
+def _mk_reads(idx, rng, n, read_len=50):
+    from shrimp_tpu import dna as _dna
+    genome = idx.genome
+    out = []
+    for i in range(n):
+        p = int(rng.integers(0, len(genome) - read_len))
+        out.append((f"q{i:03d}", _dna.decode(genome[p:p + read_len].copy()),
+                    None))
+    return out
+
+
+def _hit_keys(results):
+    return [[(h.cn, h.gen_st, h.g_off, h.score_full) for h in hits]
+            for _, hits in results]
+
+
+def test_l3_lazy_ship_crossover_runs_device():
+    """budget 0 + amortize factor 0 => the crossover is reached at the
+    first batch; the index ships, both paths get timed, and the output
+    equals the pure host path byte-for-byte."""
+    from shrimp_tpu.pipeline.mapper import Mapper
+    idx, _, _ = make_setup(seed=31, n_reads=0)
+    rng = np.random.default_rng(7)
+    reads = _mk_reads(idx, rng, 64)
+
+    m_host = Mapper(idx, MapperConfig(qual_delta=64,
+                                      device_candidates=False))
+    base = _hit_keys(m_host.map_batch(reads))
+
+    cfg = MapperConfig(qual_delta=64, device_candidates="auto",
+                       device_l3_ship_budget_secs=0.0,
+                       device_l3_amortize_factor=0.0)
+    m = Mapper(idx, cfg)
+    got = _hit_keys(m.map_batch(reads))
+    assert got == base
+    # crossover branch ran: verdict decided by measurement, both
+    # timings and the actual ship cost recorded for the bench JSON
+    assert m._l3_choice in ("device", "host")
+    assert m._l3_model is not None
+    assert "t_dev_batch" in m._l3_model
+    assert "t_host_batch" in m._l3_model
+    assert "ship_secs_actual" in m._l3_model
+
+
+def test_l3_deferred_ship_stays_host_until_crossover():
+    """budget 0 + huge amortize factor => undecided (not a permanent
+    host verdict): the run keeps measuring and would ship later."""
+    from shrimp_tpu.pipeline.mapper import Mapper
+    idx, _, _ = make_setup(seed=31, n_reads=0)
+    rng = np.random.default_rng(7)
+    reads = _mk_reads(idx, rng, 48)
+    cfg = MapperConfig(qual_delta=64, device_candidates="auto",
+                       device_l3_ship_budget_secs=0.0,
+                       device_l3_amortize_factor=1e9)
+    m = Mapper(idx, cfg)
+    m.map_batch(reads)
+    assert m._l3_choice is None
+    assert m._l3_reason.startswith("deferred ship")
+    assert m._l3_model["ship_est_secs"] >= 0
+
+
+def test_l3_expected_reads_projection_blocks_short_runs():
+    """A tiny expected_reads hint projects the host-L3 total below the
+    amortized ship cost: the run never ships."""
+    from shrimp_tpu.pipeline.mapper import Mapper
+    idx, _, _ = make_setup(seed=31, n_reads=0)
+    rng = np.random.default_rng(7)
+    reads = _mk_reads(idx, rng, 48)
+    cfg = MapperConfig(qual_delta=64, device_candidates="auto",
+                       device_l3_ship_budget_secs=0.0,
+                       device_l3_amortize_factor=1e6,
+                       expected_reads=10)
+    m = Mapper(idx, cfg)
+    m.map_batch(reads[:24])
+    m.map_batch(reads[24:])          # second batch: reads_seen > 0
+    assert m._l3_choice is None or m._l3_choice == "host"
+    assert m._l3_reason.startswith(("projected", "deferred"))
+    assert "host_l3_secs_projected" in m._l3_model or \
+        m._l3_reason.startswith("deferred")
+
+
+def test_l3_hbm_budget_veto_is_permanent():
+    """Postings larger than the HBM residency budget never ship."""
+    from shrimp_tpu.pipeline.mapper import Mapper
+    idx, _, _ = make_setup(seed=31, n_reads=0)
+    rng = np.random.default_rng(7)
+    reads = _mk_reads(idx, rng, 32)
+    cfg = MapperConfig(qual_delta=64, device_candidates="auto",
+                       device_l3_ship_budget_secs=0.0,
+                       device_l3_hbm_budget_bytes=1.0)
+    m = Mapper(idx, cfg)
+    m.map_batch(reads)
+    assert m._l3_choice == "host"
+    assert "HBM residency budget" in m._l3_reason
