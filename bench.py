@@ -225,13 +225,17 @@ def _main():
     # same-host -O3 reference anchor, if recorded
     # (benchmarks/run_reference_samehost.py — VERDICT r2 #2)
     samehost = None
-    sh_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "benchmarks", "reference_samehost.json")
-    if os.path.exists(sh_path):
+    bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks")
+    for name in ("reference_samehost.json", "reference_samehost_3g1.json"):
+        sh_path = os.path.join(bdir, name)
+        if not os.path.exists(sh_path):
+            continue
         with open(sh_path) as f:
             rec = json.load(f)
         if rec.get("genome_bp") == GENOME_BP and rec.get("reads_per_sec"):
             samehost = rec
+            break
     print(json.dumps({
         "metric": ("unpaired_reads_per_sec_per_chip_1Gbp"
                    if GENOME_BP == 10**9 else

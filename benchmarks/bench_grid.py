@@ -25,6 +25,21 @@ N_CS = 8192
 CS_CACHE = bench.CACHE + "_cs"
 
 
+def load_samehost(suffix):
+    """Same-host -O3 reference record for this grid row, if measured
+    (benchmarks/run_reference_samehost.py <mode>)."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     f"reference_samehost_{suffix}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        rec = json.load(f)
+    if rec.get("genome_bp") != bench.GENOME_BP \
+            or not rec.get("reads_per_sec"):
+        return None
+    return rec
+
+
 def stage_detail(mapper):
     tel = mapper.tel
     return {
@@ -101,12 +116,21 @@ def run_paired():
         best = el if best is None else min(best, el)
 
     rps = 2 * N_PAIRS / best
+    samehost = load_samehost("paired")
     print(json.dumps({
         "metric": "paired_reads_per_sec_per_chip_1Gbp",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / 88.0, 2),    # 2x44 (README:108)
+        "vs_samehost": (round(rps / samehost["reads_per_sec"], 2)
+                        if samehost else None),
         "detail": {
+            "samehost_ref": (None if samehost is None else {
+                "reads_per_sec": samehost["reads_per_sec"],
+                "cpu": samehost["cpu"],
+                "recall_top_pair": samehost.get("recall_top_pair"),
+                "windows_per_read": samehost.get("windows_per_read"),
+            }),
             "genome_bp": bench.GENOME_BP,
             "n_pairs": N_PAIRS,
             "map_secs": round(best, 2),
@@ -202,12 +226,21 @@ def run_cs():
         best = el if best is None else min(best, el)
 
     rps = N_CS / best
+    samehost = load_samehost("cs")
     print(json.dumps({
         "metric": "cs_reads_per_sec_per_chip_1Gbp",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / 44.0, 2),    # README:106-108 (cs!)
+        "vs_samehost": (round(rps / samehost["reads_per_sec"], 2)
+                        if samehost else None),
         "detail": {
+            "samehost_ref": (None if samehost is None else {
+                "reads_per_sec": samehost["reads_per_sec"],
+                "cpu": samehost["cpu"],
+                "recall_top_hit": samehost.get("recall_top_hit"),
+                "windows_per_read": samehost.get("windows_per_read"),
+            }),
             "genome_bp": bench.GENOME_BP,
             "n_reads": N_CS,
             "map_secs": round(best, 2),
