@@ -60,3 +60,45 @@ def test_genome_axis_paired(tmp_path):
         want = [l.rstrip("\n") for l in fh if not l.startswith("@")]
     got = body(out)
     assert got == want, (len(got), len(want))
+
+
+def run_single(tmp_path, args, tag):
+    """Single-process whole-genome gmapper run (the parity oracle for
+    conditions without a stored golden)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = str(tmp_path / f"{tag}_single.sam")
+    with open(out, "w") as fh:
+        p = subprocess.run(
+            [sys.executable, "-m", "shrimp_tpu.gmapper", *args],
+            cwd=ROOT, env=env, stdout=fh, stderr=subprocess.PIPE)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+    return out
+
+
+def test_genome_axis_cs(tmp_path):
+    """Colour-space over the cross-process genome axis (VERDICT r4 #6):
+    2 ranks, --mode cs, byte parity vs the stored CS golden."""
+    reads = os.path.join(GOLDEN, "golden_reads_cs.fq")
+    out = run_ranks(tmp_path, ["--mode", "cs"], reads, "ga_cs")
+    with open(os.path.join(GOLDEN, "golden_cs.sam")) as fh:
+        want = [l.rstrip("\n") for l in fh if not l.startswith("@")]
+    got = body(out)
+    assert got == want, (len(got), len(want), got[:2], want[:2])
+
+
+def test_genome_axis_unpaired_option_set(tmp_path):
+    """Non-default --unpaired-options string (single round, custom
+    thresholds and output count) over the genome axis: byte parity vs a
+    fresh single-process run with the same string."""
+    reads = os.path.join(GOLDEN, "golden_reads.fq")
+    oset = ("0;true/true,true,false/true,false,2,60%/"
+            "true,60%,90%,2,false,20/60%,false,true,4/0")
+    extra = ["--unpaired-options", oset, "-o", "4"]
+    single = run_single(tmp_path, ["-Q", *extra, reads,
+                                   os.path.join(GOLDEN, "golden_genome.fa")],
+                        "ga_oset")
+    out = run_ranks(tmp_path, extra, reads, "ga_oset")
+    got = body(out)
+    want = body(single)
+    assert got == want, (len(got), len(want), got[:2], want[:2])
