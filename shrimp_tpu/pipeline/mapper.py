@@ -1619,16 +1619,11 @@ class Mapper:
         self.tel.f2.add(int(_qual.sum()),
                         int(ctx["f2_cells_rows"][_qual].sum()))
         crossovers = stats[:, 10] if cfg.colour_space else None
-        # fetch only the used ops columns: stats[:, 9] (ops_len) is on
-        # the host already, and the [NB, R+G] ops plane moves at tunnel
-        # download speed (~16 MB/s measured) — slicing to the bucketed
-        # max length cuts the transfer ~3x.  Width buckets of 32 keep
-        # the slice's compile shapes to a handful per run.
-        _L = _round_up(max(1, int(stats[:, 9].max()) if N else 1), 32)
-        if _L < ctx["ops_d"].shape[1]:
-            ops_all = np.asarray(ctx["ops_d"][:, :_L])[:N]
-        else:
-            ops_all = np.asarray(ctx["ops_d"])[:N]
+        # NOTE: slicing ops_d to the used columns before the fetch was
+        # measured a net LOSS through the high-latency tunnel (the slice
+        # adds a dispatch + sync that breaks pipeline overlap: pass2
+        # stage 10.9s -> 18.5s at the 1 Gbp bench) — fetch the full plane
+        ops_all = np.asarray(ctx["ops_d"])[:N]
         score = stats[:, 0]
         tb = {"read_start": stats[:, 1], "genome_start": stats[:, 2],
               "matches": stats[:, 3], "mismatches": stats[:, 4],

@@ -1093,12 +1093,9 @@ class PairedMapper(Mapper):
             # LS pass2 re-runs the vector filter per foot before the
             # scalar DP (hit_run_full_sw, mapping.c:400-415) — f1
             self.tel.f1.add(N, int((w_len * rlen).sum()))
-        # fetch only the used ops columns (see mapper._pass2_finish)
-        _L = _round_up(max(1, int(stats[:, 9].max()) if N else 1), 32)
-        if _L < ops_d.shape[1]:
-            ops_all = np.asarray(ops_d[:, :_L])[:N]
-        else:
-            ops_all = np.asarray(ops_d)[:N]
+        # full-plane fetch: a used-columns device slice was measured a
+        # net loss through the tunnel (see mapper._pass2_finish)
+        ops_all = np.asarray(ops_d)[:N]
         self.tel.f2.add(N, _f2_cells, _time.time() - _t0)
         gb_np = np.asarray(gb)
 
