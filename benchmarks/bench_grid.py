@@ -102,9 +102,19 @@ def run_paired():
         n_pairs_matched = n_correct = 0
         for pi, pr in enumerate(
                 pm.map_pair_stream(iter(pairs), batch_size=1024)):
+            # top mate-1 placement: best paired hit, else the half-paired
+            # mate-1 hit — the same credit the reference evaluation gives
+            # its first non-unmapped 0x40 SAM record
+            fh0 = None
             if pr.paired_hits:
                 n_pairs_matched += 1
                 fh0 = pr.paired_hits[0][0]
+            else:
+                for side, fh in pr.unpaired_hits:
+                    if side == 0:
+                        fh0 = fh
+                        break
+            if fh0 is not None:
                 gs0 = fh0.g_off + fh0.genome_start
                 if fh0.gen_st == 0:
                     gpos = int(coffs[fh0.cn]) + gs0
