@@ -12,6 +12,8 @@ cd /root/repo
 python benchmarks/bench_kernels.py 2>&1 | tee "$OUT/kernels.txt"
 python bench.py 2>&1 | tee "$OUT/bench_1g.txt"
 SHRIMP_BENCH_GBP=3.1 python bench.py 2>&1 | tee "$OUT/bench_3g1.txt"
+python benchmarks/bench_grid.py paired 2>&1 | tee "$OUT/paired_1g.txt"
+python benchmarks/bench_grid.py cs 2>&1 | tee "$OUT/cs_1g.txt"
 python benchmarks/bench_modes.py 2>&1 | tee "$OUT/modes.txt" || true
 
 # CLI warm-start: second invocation should start mapping in seconds
