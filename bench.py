@@ -139,12 +139,43 @@ def make_reads(idx, rng, n_reads):
     return reads, np.array(truth)
 
 
+def _wait_pool_healthy():
+    """The axon chip pool can wedge for many minutes after an aborted
+    transfer (every device op hangs on lease recovery).  Probe with a
+    tiny round-trip in a SUBPROCESS under a timeout — a hung in-process
+    device call cannot be cancelled — and only start mapping once the
+    pool answers, so the timed reps never absorb a recovery stall."""
+    import subprocess
+    probe = ("import numpy, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.asarray("
+             "numpy.ones(1024, numpy.float32)))))")
+    for attempt in range(10):
+        if time.monotonic() - _T_START > BUDGET * 0.5:
+            sys.stderr.write("bench: pool probe giving up (budget)\n")
+            return
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=150,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL, check=True)
+            if attempt:
+                sys.stderr.write(
+                    f"bench: pool healthy after {attempt} stalled "
+                    "probes\n")
+            return
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError):
+            sys.stderr.write("bench: device pool not answering; "
+                             "waiting for lease recovery\n")
+
+
 def main():
     """Wrapper: the devserver TPU tunnel can drop mid-run
     (FailedPrecondition on a transfer); a fresh process re-claims the
     chip cleanly, so on a fatal device error we save the index cache (if
     freshly built) and re-exec, bounded by attempts and the wall budget."""
     attempt = int(os.environ.get("_SHRIMP_BENCH_ATTEMPT", "0"))
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        _wait_pool_healthy()
     try:
         _main()
     except Exception:
