@@ -139,24 +139,47 @@ def make_reads(idx, rng, n_reads):
     return reads, np.array(truth)
 
 
+_POOL_HEALTH = {"tunnel_up_mb_s": None, "tunnel_down_mb_s": None,
+                "stalled_probes": 0}
+
+
 def _wait_pool_healthy():
     """The axon chip pool can wedge for many minutes after an aborted
     transfer (every device op hangs on lease recovery).  Probe with a
     tiny round-trip in a SUBPROCESS under a timeout — a hung in-process
     device call cannot be cancelled — and only start mapping once the
-    pool answers, so the timed reps never absorb a recovery stall."""
+    pool answers, so the timed reps never absorb a recovery stall.
+
+    The probe also times a 4 MB up/down transfer and records it in
+    `_POOL_HEALTH` → bench JSON `detail.tunnel_mb_s`, so a run taken on
+    a degraded pool is identifiable from its own artifact (observed
+    back-to-back variance: 644→466 reads/s tracking tunnel decay;
+    BENCHMARKS.md 'Run-to-run variance')."""
     import subprocess
-    probe = ("import numpy, jax.numpy as jnp; "
-             "print(float(jnp.sum(jnp.asarray("
-             "numpy.ones(1024, numpy.float32)))))")
+    probe = (
+        "import time, numpy, jax\n"
+        "d = jax.devices()[0]\n"
+        "x = numpy.zeros(4 * 1024 * 1024, numpy.int8)\n"
+        "t = time.time(); xd = jax.device_put(x, d)\n"
+        "xd.block_until_ready(); up = 4 / max(time.time() - t, 1e-9)\n"
+        "t = time.time(); numpy.asarray(xd)\n"
+        "down = 4 / max(time.time() - t, 1e-9)\n"
+        "print('%.2f %.2f' % (up, down))\n")
     for attempt in range(10):
         if time.monotonic() - _T_START > BUDGET * 0.5:
             sys.stderr.write("bench: pool probe giving up (budget)\n")
             return
         try:
-            subprocess.run([sys.executable, "-c", probe], timeout=150,
-                           stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL, check=True)
+            r = subprocess.run([sys.executable, "-c", probe], timeout=150,
+                               stdout=subprocess.PIPE,
+                               stderr=subprocess.DEVNULL, check=True)
+            try:
+                up, down = map(float, r.stdout.split()[-2:])
+                _POOL_HEALTH["tunnel_up_mb_s"] = up
+                _POOL_HEALTH["tunnel_down_mb_s"] = down
+            except (ValueError, IndexError):
+                pass
+            _POOL_HEALTH["stalled_probes"] = attempt
             if attempt:
                 sys.stderr.write(
                     f"bench: pool healthy after {attempt} stalled "
@@ -302,6 +325,10 @@ def _main():
             "sensitivity_anchor": "reference 94.4%/78.6% (CS, README:102)",
             "index_secs": round(index_secs, 1),
             "index_cached": cached,
+            "tunnel_mb_s": {"up": _POOL_HEALTH["tunnel_up_mb_s"],
+                            "down": _POOL_HEALTH["tunnel_down_mb_s"],
+                            "stalled_probes":
+                                _POOL_HEALTH["stalled_probes"]},
             "vector_sw_cells_per_sec": round(tel.f1.cells_per_sec),
             "scalar_sw_cells_per_sec": round(tel.f2.cells_per_sec),
         },
